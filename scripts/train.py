@@ -1,0 +1,137 @@
+"""Training CLI — the mirror of /root/reference/scripts/train.py.
+
+Same flags (--config_file --min_awgn --max_awgn --save_dir --model_name
+--device) and the same JSON config schema (configs/train_cfg.json: paths,
+batch sizes, im_shape, lr, epochs). The hardcoded flagship model matches
+train.py:70-73 (DivergentRestorer [2,8,32] / 86 filters / sigmoid / two
+kernel-less 100-iteration iso ADMM layers); optimizer AdamW(betas 0.9/0.9),
+CosineAnnealingWarmRestarts(T_0=15000, eta_min=1e-11), SSIMLabColorLoss,
+metrics [PSNR, SCC, SSIM, MAE, UIQ] (train.py:89-97). ``--device`` maps to
+jax platforms (tpu/cpu) rather than cuda.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def init_training(config_file, min_std, max_std, save_dir, model_name, device, model_ckpt=None):
+    import jax
+
+    if device and device != "tpu":
+        jax.config.update("jax_platforms", device)
+    import jax.numpy as jnp
+
+    from torch_admm_deconv_tpu.data import AddAWGN, DataLoader, ImageDataset, RandCrop, Scale
+    from torch_admm_deconv_tpu.metrics import (
+        MAELoss,
+        PSNRMetric,
+        SCCMetric,
+        SSIMLabColorLoss,
+        SSIMMetric,
+        UIQMetric,
+    )
+    from torch_admm_deconv_tpu.models.denoiser import flagship_divergent_restorer
+    from torch_admm_deconv_tpu.train import (
+        MetricsLogger,
+        NNSaver,
+        NNTrainer,
+        cosine_annealing_warm_restarts,
+        load_checkpoint,
+        make_optimizer,
+    )
+
+    with open(os.path.join(os.getcwd(), config_file)) as f:
+        train_cfg = json.load(f)
+
+    im_shape = tuple(train_cfg["im_shape"])
+    transforms = [RandCrop(im_shape), Scale()]
+    if max_std > 0:
+        transforms.append(AddAWGN(std_range=(min_std, max_std), both=False))
+    train_dset = ImageDataset(
+        Path(train_cfg["train"]["x_path"]), Path(train_cfg["train"]["y_path"]), transforms=transforms
+    )
+    eval_dset = ImageDataset(
+        Path(train_cfg["eval"]["x_path"]), Path(train_cfg["eval"]["y_path"]), transforms=transforms
+    )
+    train_loader = DataLoader(train_dset, batch_size=train_cfg["train"]["batch_size"], shuffle=True)
+    eval_loader = DataLoader(eval_dset, batch_size=train_cfg["eval"]["batch_size"], shuffle=True)
+
+    saver = NNSaver(os.path.join(os.getcwd(), save_dir), model_name)
+    model_cfg = train_cfg.get("model", {})
+    if model_cfg:
+        # beyond-reference: architecture overrides via config (the reference
+        # hardcodes the model in the script, train.py:70-73)
+        import jax.nn
+
+        from torch_admm_deconv_tpu.models.denoiser import DivergentRestorer
+
+        admm = {
+            "kern_size": (),
+            "max_iters": model_cfg.get("admm_iters", 100),
+            "iso": True,
+            "remat": True,
+        }
+        model = DivergentRestorer(
+            level_branches=model_cfg.get("level_branches", [2, 8, 32]),
+            in_channels=3,
+            final_channels=3,
+            filters=model_cfg.get("filters", 86),
+            gate_channels=model_cfg.get("filters", 86),
+            attention_reduction=model_cfg.get("attention_reduction", 8),
+            output_activation=jax.nn.sigmoid,
+            admms=[dict(admm), dict(admm)],
+        )
+    else:
+        model = flagship_divergent_restorer()
+
+    init_params = None
+    if train_cfg["train"].get("ckpt"):
+        print("!!!!! LOADING CKPT !!!!!!!")
+        ckpt = load_checkpoint(train_cfg["train"]["ckpt"])
+        init_params = jax.tree_util.tree_map(jnp.asarray, ckpt["model_state_dict"])
+
+    lr = train_cfg["lr"]
+    optimizer = make_optimizer(lr)
+    lr_scheduler = cosine_annealing_warm_restarts(lr, t_0=15000, eta_min=1e-11)
+
+    eval_metrics = [PSNRMetric(device), SCCMetric(device), SSIMMetric(device), MAELoss(device), UIQMetric(device)]
+    loss_func = SSIMLabColorLoss(device)
+    logger = MetricsLogger(loss_func, eval_metrics)
+    trainer = NNTrainer(loss_func, eval_metrics, saver, logger)
+    trainer.run(
+        model,
+        optimizer,
+        train_cfg["epochs"],
+        train_loader,
+        eval_loader,
+        lr_scheduler=lr_scheduler,
+        base_lr=lr,
+        init_params=init_params,
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Training script for image restoration")
+    parser.add_argument("--config_file", "-c", type=str, default="configs/train_cfg.json",
+                        help="Path to train config file")
+    parser.add_argument("--min_awgn", "-m", type=int, default=0, help="Min std for AWGN")
+    parser.add_argument("--max_awgn", "-M", type=int, default=0, help="Max std for AWGN")
+    parser.add_argument("--save_dir", "-s", type=str, default="trained_models",
+                        help="Dir (relative to cwd) to save models")
+    parser.add_argument("--model_name", "-n", type=str, default="image_restorer",
+                        help="Name of the training model")
+    parser.add_argument("--device", "-d", type=str, default="tpu", help="Training device (tpu | cpu)")
+    args = parser.parse_args()
+    init_training(args.config_file, args.min_awgn, args.max_awgn, args.save_dir,
+                  args.model_name, args.device)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_admm_deconv_tpu import metrics as M
+from torch_admm_deconv_tpu.metrics import functional as F
+
+
+def _pair(rng, noise=0.1):
+    clean = rng.random((2, 3, 32, 32)).astype(np.float32)
+    noisy = np.clip(clean + noise * rng.standard_normal(clean.shape), 0, 1).astype(np.float32)
+    return jnp.asarray(noisy), jnp.asarray(clean)
+
+
+def test_mse_mae_psnr_closed_form(rng):
+    pred, target = _pair(rng)
+    p, t = np.asarray(pred), np.asarray(target)
+    np.testing.assert_allclose(float(F.mse(pred, target)), np.mean((p - t) ** 2), rtol=1e-5)
+    np.testing.assert_allclose(float(F.mae(pred, target)), np.mean(np.abs(p - t)), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(F.psnr(pred, target)), 10 * np.log10(1.0 / np.mean((p - t) ** 2)), rtol=1e-5
+    )
+
+
+def test_ssim_properties(rng):
+    pred, target = _pair(rng)
+    assert float(F.ssim(target, target)) == pytest.approx(1.0, abs=1e-5)
+    s_noisy = float(F.ssim(pred, target))
+    assert 0 < s_noisy < 1
+    pred2, _ = _pair(rng, noise=0.3)
+    assert float(F.ssim(pred2, target)) < s_noisy  # more noise, lower ssim
+    # symmetric
+    assert float(F.ssim(pred, target)) == pytest.approx(float(F.ssim(target, pred)), abs=1e-5)
+
+
+def test_ssim_matches_skimage_formula_on_flat_images():
+    """Closed form: constant images with different means."""
+    a = jnp.full((1, 1, 16, 16), 0.4)
+    b = jnp.full((1, 1, 16, 16), 0.6)
+    c1 = 0.01**2
+    want = (2 * 0.4 * 0.6 + c1) / (0.4**2 + 0.6**2 + c1)  # cs term = 1 (zero var)
+    np.testing.assert_allclose(float(F.ssim(a, b)), want, rtol=1e-5)
+
+
+def test_ms_ssim_properties(rng):
+    clean = rng.random((1, 3, 180, 180)).astype(np.float32)
+    noisy = np.clip(clean + 0.1 * rng.standard_normal(clean.shape), 0, 1).astype(np.float32)
+    c, n = jnp.asarray(clean), jnp.asarray(noisy)
+    assert float(F.ms_ssim(c, c)) == pytest.approx(1.0, abs=1e-4)
+    assert 0 < float(F.ms_ssim(n, c)) < 1
+
+
+def test_uiq_properties(rng):
+    pred, target = _pair(rng)
+    assert float(F.uiq(target, target)) == pytest.approx(1.0, abs=1e-3)
+    assert float(F.uiq(pred, target)) < 1.0
+
+
+def test_scc_properties(rng):
+    pred, target = _pair(rng)
+    assert float(F.scc(target, target)) == pytest.approx(1.0, abs=1e-3)
+    v = float(F.scc(pred, target))
+    assert -1.0 <= v < 1.0
+
+
+def test_rgb_to_lab_known_colors():
+    # white, black, sRGB red — standard Lab values
+    rgb = jnp.asarray(
+        np.array([[1.0, 0.0, 1.0], [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], np.float32).reshape(
+            1, 3, 1, 3
+        )
+    )  # pixels: white, black, red
+    lab = np.asarray(M.rgb_to_lab(rgb))[0, :, 0]
+    white, black, red = lab[:, 0], lab[:, 1], lab[:, 2]
+    np.testing.assert_allclose(white, [100.0, 0.0, 0.0], atol=0.1)
+    np.testing.assert_allclose(black, [0.0, 0.0, 0.0], atol=0.1)
+    np.testing.assert_allclose(red, [53.24, 80.09, 67.20], atol=0.3)
+
+
+def test_metric_classes_surface(rng):
+    pred, target = _pair(rng)
+    for cls, rng_check in [
+        (M.MSE, (0, 1)),
+        (M.MAELoss, (0, 1)),
+        (M.SSIMLoss, (0, 1)),
+        (M.SSIMMetric, (0, 1)),
+        (M.PSNRMetric, (0, 60)),
+        (M.UIQMetric, (-1, 1)),
+        (M.SCCMetric, (-1, 1)),
+    ]:
+        metric = cls("cpu")
+        v = float(metric(pred, target))
+        assert rng_check[0] <= v <= rng_check[1], (cls.m_name, v)
+        assert isinstance(metric.m_name, str)
+
+
+def test_psnr_loss_matches_reference_formula(rng):
+    pred, target = _pair(rng)
+    loss = M.PSNRLoss("cpu")
+    got = float(loss(pred, target))
+    p, t = np.asarray(pred), np.asarray(target)
+    per_im = ((p - t) ** 2).mean(axis=(1, 2, 3))
+    want = (10 / np.log(10)) * np.log(per_im + 1e-8).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_ssim_lab_color_loss(rng):
+    pred, target = _pair(rng)
+    loss = M.SSIMLabColorLoss("cpu")
+    v = float(loss(pred, target))
+    assert 0 < v < 3
+    assert float(loss(target, target)) == pytest.approx(0.0, abs=1e-4)
+    # differentiable
+    import jax
+
+    g = jax.grad(lambda p: loss(p, target))(pred)
+    assert np.all(np.isfinite(np.asarray(g)))

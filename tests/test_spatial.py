@@ -1,0 +1,103 @@
+"""Spatially-sharded solver on the virtual 8-device CPU mesh vs the
+single-device solver (SURVEY.md §4c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.oracles import numpy_admm as oracle
+from torch_admm_deconv_tpu.ops.solver import admm_tv
+from torch_admm_deconv_tpu.parallel import (
+    make_mesh,
+    spatial_admm_tv,
+    spatial_admm_tv_adaptive,
+)
+from torch_admm_deconv_tpu.parallel.spatial import irfft2_sharded, rfft2_sharded
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh((8,), ("space",))
+
+
+def test_distributed_fft_roundtrip(mesh, rng):
+    x = jnp.asarray(rng.normal(size=(2, 3, 32, 24)), jnp.float32)
+
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    def roundtrip(v):
+        f = rfft2_sharded(v, "space", 8, 24)
+        return irfft2_sharded(f, "space", 8, v.shape[-2], 24)
+
+    fn = jax.jit(
+        jax.shard_map(
+            roundtrip,
+            mesh=mesh,
+            in_specs=P(None, None, "space", None),
+            out_specs=P(None, None, "space", None),
+        )
+    )
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(x), atol=1e-5)
+
+
+def test_distributed_fft_matches_rfft2(mesh, rng):
+    """The transposed pencil FFT computes the same spectrum (reordered)."""
+    x = jnp.asarray(rng.normal(size=(1, 1, 16, 16)), jnp.float32)
+    from jax.sharding import PartitionSpec as P
+
+    def fwd(v):
+        return rfft2_sharded(v, "space", 8, 16)
+
+    fn = jax.jit(
+        jax.shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=P(None, None, "space", None),
+            out_specs=P(None, None, None, "space"),
+        )
+    )
+    got = np.asarray(fn(x))  # (1,1,16, padded wf) sharded over freq cols
+    want = np.fft.rfft2(np.asarray(x)[0, 0])
+    wf = 16 // 2 + 1
+    np.testing.assert_allclose(got[0, 0, :, :wf], want, atol=1e-4)
+
+
+@pytest.mark.parametrize("iso,iso_mode", [(False, "compat"), (True, "compat"), (True, "joint")])
+def test_spatial_matches_single_device_denoise(mesh, rng, iso, iso_mode):
+    x = jnp.asarray(rng.normal(size=(2, 3, 32, 32)) * 0.1 + 0.5, jnp.float32)
+    single = np.asarray(admm_tv(x, 0.05, 0.8, None, iso=iso, maxit=30, iso_mode=iso_mode))
+    tiled = np.asarray(
+        spatial_admm_tv(x, 0.05, 0.8, None, iso=iso, maxit=30, mesh=mesh, iso_mode=iso_mode)
+    )
+    np.testing.assert_allclose(tiled, single, atol=2e-4)
+
+
+def test_spatial_matches_single_device_deblur(mesh, rng):
+    psf = jnp.asarray(oracle.gaussian_psf(9, 1.5), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 3, 64, 48)) * 0.1 + 0.5, jnp.float32)
+    single = np.asarray(admm_tv(x, 0.01, 1.0, psf, maxit=40))
+    tiled = np.asarray(spatial_admm_tv(x, 0.01, 1.0, psf, maxit=40, mesh=mesh))
+    np.testing.assert_allclose(tiled, single, atol=5e-4)
+
+
+def test_spatial_adaptive_converges_jointly(mesh, rng):
+    img = rng.normal(size=(1, 1, 64, 64)) * 0.1 + 0.5
+    x = jnp.asarray(img, jnp.float32)
+    res = spatial_admm_tv_adaptive(x, 0.05, 1.0, None, maxit=300, tol=1e-4, mesh=mesh)
+    assert int(res.iters) < 300
+    assert float(res.r_norm) <= 1e-4 and float(res.s_norm) <= 1e-4
+    # all shards produced one agreed image
+    assert res.x.shape == x.shape
+    # matches the single-device adaptive result
+    from torch_admm_deconv_tpu.ops.solver import admm_tv_adaptive
+
+    ref = admm_tv_adaptive(x, 0.05, 1.0, None, maxit=300, tol=1e-4)
+    assert abs(int(res.iters) - int(ref.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=5e-4)

@@ -1,0 +1,141 @@
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_admm_deconv_tpu import models as M
+from torch_admm_deconv_tpu.metrics import MSE, PSNRMetric, SSIMLoss
+from torch_admm_deconv_tpu.train import (
+    MetricsLogger,
+    NNSaver,
+    NNTrainer,
+    SaveMode,
+    cosine_annealing_warm_restarts,
+    load_checkpoint,
+    make_optimizer,
+)
+
+
+def test_cosine_warm_restarts_matches_torch():
+    torch = pytest.importorskip("torch")
+    base, t0, eta = 0.1, 10, 1e-5
+    sched = cosine_annealing_warm_restarts(base, t0, eta_min=eta)
+    m = torch.nn.Linear(1, 1)
+    opt = torch.optim.SGD(m.parameters(), lr=base)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(opt, T_0=t0, eta_min=eta)
+    for step in range(25):
+        want = tsched.get_last_lr()[0]
+        got = float(sched(step))
+        assert math.isclose(got, want, rel_tol=1e-5), (step, got, want)
+        opt.step()
+        tsched.step()
+
+
+def test_logger_psnr_from_mean_mse():
+    loss = SSIMLoss("cpu")
+    logger = MetricsLogger(loss, [PSNRMetric("cpu")])
+    # psnr requested => mse auto-registered
+    assert "mse" in logger._step_metrics
+    logger.update_step_metric_val("mse", 0.01)
+    logger.update_step_metric_val("mse", 0.04)
+    logger.update_step_metric_val("psnr", 20.0)
+    logger.update_step_metric_val("psnr", 14.0)
+    logger.update_step_metric_val(loss.m_name, 0.5)
+    logger("train")
+    avg = logger.get_avg_metrics("train")
+    # PSNR from MEAN mse (0.025) = 16.02dB, not mean of per-step PSNRs (17)
+    np.testing.assert_allclose(avg["psnr"], 10 * np.log10(1 / 0.025), rtol=1e-6)
+
+
+def test_saver_best_mode_strictness(tmp_path):
+    saver = NNSaver(str(tmp_path), "m", SaveMode.Best, use_time_date=False)
+    params = {"w": jnp.ones((2,))}
+    saver.save_on_epoch_end(0, params, {}, 1.0)
+    saver.save_on_epoch_end(1, params, {}, 1.5)  # worse: no save
+    saver.save_on_epoch_end(2, params, {}, 0.5)  # strictly better than all: save
+    saver.save_on_epoch_end(3, params, {}, 0.7)  # not better than 0.5: no save
+    files = sorted(p.name for p in (tmp_path / "m").glob("*.tar"))
+    assert files == ["m_epoch00_vloss1.0000.tar", "m_epoch02_vloss0.5000.tar"]
+
+
+def test_saver_checkpoint_roundtrip(tmp_path):
+    saver = NNSaver(str(tmp_path), "m", SaveMode.Each, use_time_date=False)
+    params = {"dense": {"kernel": jnp.arange(4.0).reshape(2, 2)}}
+    path = saver.save_model(3, params, {"count": jnp.asarray(7)}, 0.25)
+    restored = load_checkpoint(path)
+    assert restored["epoch"] == 3
+    np.testing.assert_allclose(
+        restored["model_state_dict"]["dense"]["kernel"], np.arange(4.0).reshape(2, 2)
+    )
+    assert restored["loss"] == 0.25
+
+
+class _SyntheticLoader:
+    """Deterministic denoising toy: y clean, x noisy."""
+
+    def __init__(self, n_batches=3, batch=2, ch=3, size=16, seed=0):
+        rng = np.random.default_rng(seed)
+        self.batches = []
+        for _ in range(n_batches):
+            y = rng.random((batch, ch, size, size)).astype(np.float32)
+            x = np.clip(y + 0.1 * rng.standard_normal(y.shape), 0, 1).astype(np.float32)
+            self.batches.append((x, y))
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def test_trainer_end_to_end_loss_decreases(tmp_path):
+    model = M.DivergentRestorer(
+        level_branches=[2, 2], in_channels=3, final_channels=3, filters=6,
+        gate_channels=6, attention_reduction=2, output_activation=jax.nn.sigmoid,
+        admms=[{"kern_size": (), "max_iters": 2, "iso": True}] * 2,
+    )
+    loss = SSIMLoss("cpu")
+    metrics = [PSNRMetric("cpu"), MSE("cpu")]
+    saver = NNSaver(str(tmp_path), "tiny", SaveMode.Each, use_time_date=False)
+    logger = MetricsLogger(loss, metrics)
+    trainer = NNTrainer(loss, metrics, saver, logger)
+    train_loader = _SyntheticLoader(n_batches=4)
+    eval_loader = _SyntheticLoader(n_batches=2, seed=1)
+    trainer.run(
+        model,
+        make_optimizer(3e-3),
+        epochs=3,
+        train_dataloader=train_loader,
+        eval_dataloader=eval_loader,
+        base_lr=3e-3,
+    )
+    train_losses = logger.metrics["train"][loss.m_name]
+    assert len(train_losses) == 3
+    assert train_losses[-1] < train_losses[0], train_losses
+    # checkpoints + csv written
+    assert len(list((tmp_path / "tiny").glob("*.tar"))) == 3
+    assert (tmp_path / "tiny" / "logged_metrics.csv").exists()
+    # admm params stayed in the clamp range
+    leaves = jax.tree_util.tree_flatten_with_path(trainer.params)[0]
+    for path, leaf in leaves:
+        name = str(path[-1])
+        if "lmbda" in name or "rho" in name:
+            assert float(np.min(np.asarray(leaf))) >= 1e-12
+            assert float(np.max(np.asarray(leaf))) <= 5.0
+
+
+def test_trainer_scheduler_steps_per_eval_batch(tmp_path):
+    """Reference quirk: lr scheduler advances once per EVAL batch."""
+    model = M.Conv2d(3, 3, 1)
+    loss = MSE("cpu")
+    trainer = NNTrainer(loss, [], None, MetricsLogger(loss, []))
+    sched = cosine_annealing_warm_restarts(1e-3, 100)
+    trainer.run(
+        model, make_optimizer(1e-3), epochs=2,
+        train_dataloader=_SyntheticLoader(n_batches=3),
+        eval_dataloader=_SyntheticLoader(n_batches=2),
+        lr_scheduler=sched, base_lr=1e-3,
+    )
+    assert trainer._sched_count == 4  # 2 epochs x 2 eval batches

@@ -131,7 +131,7 @@ class ChannelWiseAttention(nn.Module):
             c // self.probas_ch_factor if self.reduce_probas_space else c * self.probas_ch_factor
         )
         weights = [
-            self.param(f"compress_weight_{i}", nn.initializers.ones, (1,))
+            self.param(f"compress_weight_{i}", nn.initializers.ones, (1,), jnp.float32)
             for i in range(len(self.channel_compress_methods))
         ]
         stats = jnp.stack(

@@ -87,7 +87,7 @@ class Conv2d(nn.Module):
             feature_group_count=self.groups,
         )
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
             y = y + b.astype(y.dtype)[None, :, None, None]
         return y
 
@@ -124,7 +124,7 @@ class ConvTranspose2d(nn.Module):
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
             y = y + b.astype(y.dtype)[None, :, None, None]
         return y
 
@@ -164,8 +164,8 @@ class InstanceNorm2d(nn.Module):
         mu = jnp.mean(x, axis=(-2, -1), keepdims=True)
         var = jnp.var(x, axis=(-2, -1), keepdims=True)
         y = (x - mu) * jax.lax.rsqrt(var + self.eps)
-        w = self.param("scale", nn.initializers.ones, (self.num_features,))
-        b = self.param("bias", nn.initializers.zeros, (self.num_features,))
+        w = self.param("scale", nn.initializers.ones, (self.num_features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.num_features,), jnp.float32)
         return y * w[None, :, None, None] + b[None, :, None, None]
 
 
@@ -182,8 +182,8 @@ class LayerNorm2d(nn.Module):
         mu = jnp.mean(x, axis=1, keepdims=True)
         var = jnp.mean((x - mu) ** 2, axis=1, keepdims=True)
         y = (x - mu) * jax.lax.rsqrt(var + self.eps)
-        w = self.param("weight", nn.initializers.ones, (self.channels,))
-        b = self.param("bias", nn.initializers.zeros, (self.channels,))
+        w = self.param("weight", nn.initializers.ones, (self.channels,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
         return y * w[None, :, None, None] + b[None, :, None, None]
 
 

@@ -53,7 +53,7 @@ class Conv1d(nn.Module):
             dimension_numbers=("NCH", "OIH", "NCH"),
         )
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
             y = y + b.astype(y.dtype)[None, :, None]
         return y
 

@@ -79,7 +79,7 @@ class NAFBlock(nn.Module):
         x = Conv2d(dw // 2, c, 1, name="conv3")(x)
         if self.drop_out_rate > 0:
             x = nn.Dropout(self.drop_out_rate, deterministic=self.deterministic)(x)
-        beta = self.param("beta", nn.initializers.zeros, (1, c, 1, 1))
+        beta = self.param("beta", nn.initializers.zeros, (1, c, 1, 1), jnp.float32)
         y = inp + x * beta
 
         x = LayerNorm2d(c, name="norm2")(y)
@@ -88,7 +88,7 @@ class NAFBlock(nn.Module):
         x = Conv2d(self.ffn_expand * c // 2, c, 1, name="conv5")(x)
         if self.drop_out_rate > 0:
             x = nn.Dropout(self.drop_out_rate, deterministic=self.deterministic)(x)
-        gamma = self.param("gamma", nn.initializers.zeros, (1, c, 1, 1))
+        gamma = self.param("gamma", nn.initializers.zeros, (1, c, 1, 1), jnp.float32)
         return y + x * gamma
 
 

@@ -1,0 +1,350 @@
+"""Spatially-sharded TV-ADMM for megapixel images (shard_map + ICI).
+
+Beyond-reference capability (BASELINE.json config 5, SURVEY.md §2.5/§5):
+the image's H dimension shards over the ``space`` mesh axis; each iteration
+needs two cross-shard structures:
+
+* **halo exchange** — the one-pixel circular shifts of Dy/Dy^T move a single
+  boundary row between neighbouring shards via ``lax.ppermute`` (rides ICI);
+* **distributed FFT** — the x-update's rfft2 is global. Pencil
+  decomposition: local rfft along W, ``lax.all_to_all`` transpose so H
+  becomes local (the rfft frequency axis is zero-padded to a multiple of the
+  shard count), local fft along H, the diagonal freq_c multiply on the
+  shard's own frequency columns (closed-form OTFs evaluated per column — no
+  replicated full-grid arrays), then the inverse chain. Two all_to_alls per
+  direction, 4 per iteration.
+
+Residual norms reduce with ``lax.psum`` over the same axis so all shards
+agree on stopping and adaptive rho jointly.
+
+Everything here runs inside ``jax.shard_map`` and is exercised on a virtual
+8-device CPU mesh by tests/test_spatial.py; the math is validated against
+the single-device solver bit-for-bit (same FFT plan modulo reordering).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from torch_admm_deconv_tpu.ops.prox import block_thresh_joint, soft_thresh
+from torch_admm_deconv_tpu.ops.solver import AdaptiveResult
+
+# ---------------------------------------------------------------------------
+# halo exchange: sharded one-row circular shifts along H
+# ---------------------------------------------------------------------------
+
+
+def _shift_rows(x: jnp.ndarray, direction: int, axis_name: str, n: int) -> jnp.ndarray:
+    """Global circular roll of the H axis by +-1 for an H-sharded block:
+    exchange one boundary row with the neighbouring shard via ppermute."""
+    if direction == +1:  # roll down: row comes from the previous shard
+        row = x[..., -1:, :]
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        recv = jax.lax.ppermute(row, axis_name, perm)
+        return jnp.concatenate([recv, x[..., :-1, :]], axis=-2)
+    else:  # roll up: row comes from the next shard
+        row = x[..., :1, :]
+        perm = [(i, (i - 1) % n) for i in range(n)]
+        recv = jax.lax.ppermute(row, axis_name, perm)
+        return jnp.concatenate([x[..., 1:, :], recv], axis=-2)
+
+
+def dy_sharded(x, axis_name, n):
+    return x - _shift_rows(x, +1, axis_name, n)
+
+
+def dy_t_sharded(a, axis_name, n):
+    return a - _shift_rows(a, -1, axis_name, n)
+
+
+def dx_local(x):
+    return x - jnp.roll(x, 1, axis=-1)
+
+
+def dx_t_local(a):
+    return a - jnp.roll(a, -1, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# pencil-decomposed distributed FFT
+# ---------------------------------------------------------------------------
+
+
+def _wf_pad(w: int, n: int) -> Tuple[int, int]:
+    wf = w // 2 + 1
+    return wf, (-wf) % n
+
+
+def rfft2_sharded(x: jnp.ndarray, axis_name: str, n: int, w: int) -> jnp.ndarray:
+    """(B, C, H/n, W) real, H-sharded -> (B, C, H, wf_pad/n) complex,
+    frequency-column-sharded."""
+    xf = jnp.fft.rfft(x, axis=-1)
+    wf, pad = _wf_pad(w, n)
+    if pad:
+        xf = jnp.pad(xf, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    xf = jax.lax.all_to_all(xf, axis_name, split_axis=3, concat_axis=2, tiled=True)
+    return jnp.fft.fft(xf, axis=-2)
+
+
+def irfft2_sharded(
+    xf: jnp.ndarray, axis_name: str, n: int, h_local: int, w: int
+) -> jnp.ndarray:
+    """Inverse of :func:`rfft2_sharded`: back to (B, C, H/n, W) real."""
+    xf = jnp.fft.ifft(xf, axis=-2)
+    xf = jax.lax.all_to_all(xf, axis_name, split_axis=2, concat_axis=3, tiled=True)
+    wf, _ = _wf_pad(w, n)
+    xf = xf[..., :wf]
+    return jnp.fft.irfft(xf, n=w, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# closed-form per-column frequency grids (no replicated full-size arrays)
+# ---------------------------------------------------------------------------
+
+
+def _my_cols(axis_name: str, n: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """This shard's rfft frequency-column indices (padded grid) + validity."""
+    wf, pad = _wf_pad(w, n)
+    chunk = (wf + pad) // n
+    base = jax.lax.axis_index(axis_name) * chunk
+    kx = base + jnp.arange(chunk)
+    return kx, kx < wf
+
+
+def grad_abs2_cols(h: int, w: int, kx: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """|Dx_hat|^2 + |Dy_hat|^2 on (H, cols): 4 sin^2 closed form
+    (same math as ops.fdops.grad_otf_abs2)."""
+    ky = jnp.arange(h, dtype=dtype)
+    sy2 = 4.0 * jnp.sin(jnp.pi * ky / h) ** 2
+    sx2 = 4.0 * jnp.sin(jnp.pi * kx.astype(dtype) / w) ** 2
+    return sy2[:, None] + sx2[None, :]
+
+
+def psf_otf_centered_cols(
+    kern: jnp.ndarray, h: int, w: int, kx: jnp.ndarray, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Centered PSF OTF evaluated directly on (H, cols) via the small-kernel
+    DFT sum — cost kh*kw*H*cols, no full-grid FFT (matches
+    ops.fdops.psf_otf_centered exactly on the owned columns)."""
+    kh, kw = int(kern.shape[-2]), int(kern.shape[-1])
+    top, left = (kh - 1) // 2, (kw - 1) // 2
+    k = kern.reshape(kh, kw).astype(dtype)
+    a = jnp.arange(kh, dtype=dtype) - top
+    b = jnp.arange(kw, dtype=dtype) - left
+    ky = jnp.arange(h, dtype=dtype)
+    # phase_y: (kh, H), phase_x: (kw, cols)
+    py = jnp.exp(-2j * jnp.pi * a[:, None] * ky[None, :] / h)
+    px = jnp.exp(-2j * jnp.pi * b[:, None] * kx.astype(dtype)[None, :] / w)
+    return jnp.einsum("ab,ay,bx->yx", k.astype(py.dtype), py, px)
+
+
+# ---------------------------------------------------------------------------
+# the sharded solvers
+# ---------------------------------------------------------------------------
+
+
+def _shrink(dxu, dyu, tau, iso: bool, iso_mode: str):
+    """Shrinkage for H-sharded blocks. compat/sample norms reduce over
+    (B, C) / (C,), which stay fully local under spatial sharding, so the
+    single-device semantics carry over unchanged."""
+    if not iso:
+        return soft_thresh(dxu, tau), soft_thresh(dyu, tau)
+    if iso_mode in ("compat", "sample"):
+        axis = (0, 1) if iso_mode == "compat" else (1,)
+        norm_x = jnp.sqrt(jnp.sum(dxu * dxu, axis=axis, keepdims=True) + 1e-15)
+        norm_y = jnp.sqrt(jnp.sum(dyu * dyu, axis=axis, keepdims=True) + 1e-15)
+        zx = jnp.maximum(1.0 - tau / (norm_x + 1e-15), 0.0) * dxu
+        zy = jnp.maximum(1.0 - tau / (norm_y + 1e-15), 0.0) * dyu
+        return zx, zy
+    if iso_mode == "joint":
+        return block_thresh_joint(dxu, dyu, tau)
+    raise ValueError(iso_mode)
+
+
+def _local_fixed_solver(
+    xin, lmbd, rho, kern, *, axis_name, n, h, w, iso, iso_mode, maxit
+):
+    dtype = xin.dtype
+    h_local = xin.shape[-2]
+    lmbd = jnp.reshape(lmbd, ()).astype(dtype)
+    rho = jnp.reshape(rho, ()).astype(dtype)
+    tau = lmbd / rho
+
+    kx, valid = _my_cols(axis_name, n, w)
+    d2 = grad_abs2_cols(h, w, kx, dtype)
+    if kern is None or kern.size == 0:
+        h_abs2 = jnp.ones((), dtype)
+        hty = xin
+    else:
+        otf_c = psf_otf_centered_cols(kern, h, w, kx, dtype)
+        h_abs2 = (otf_c.real**2 + otf_c.imag**2).astype(dtype)
+        hty = irfft2_sharded(
+            jnp.conj(otf_c) * rfft2_sharded(xin, axis_name, n, w), axis_name, n, h_local, w
+        )
+    denom = h_abs2 + rho * d2
+    freq_c = jnp.where(valid[None, :], 1.0 / denom, 0.0)
+
+    zeros = jnp.zeros_like(xin)
+
+    def step(carry, _):
+        s, u_x, u_y, _ = carry
+        x = irfft2_sharded(freq_c * rfft2_sharded(s, axis_name, n, w), axis_name, n, h_local, w)
+        dxk = dx_local(x)
+        dyk = dy_sharded(x, axis_name, n)
+        z_x, z_y = _shrink(dxk + u_x, dyk + u_y, tau, iso, iso_mode)
+        u_x = u_x + dxk - z_x
+        u_y = u_y + dyk - z_y
+        s_new = hty + rho * (dx_t_local(z_x - u_x) + dy_t_sharded(z_y - u_y, axis_name, n))
+        return (s_new, u_x, u_y, x), None
+
+    (_, _, _, x_f), _ = jax.lax.scan(step, (hty, zeros, zeros, zeros), None, length=maxit)
+    return x_f
+
+
+def spatial_admm_tv(
+    xin: jnp.ndarray,
+    lmbd,
+    rho,
+    kern: Optional[jnp.ndarray] = None,
+    iso: bool = False,
+    maxit: int = 100,
+    *,
+    mesh: Mesh,
+    axis: str = "space",
+    iso_mode: str = "compat",
+) -> jnp.ndarray:
+    """Fixed-iteration TV-ADMM with the image spatially tiled over ``axis``.
+
+    ``xin``: (B, C, H, W) with H divisible by the axis size. Matches
+    :func:`ops.solver.admm_tv` output to fp tolerance.
+    """
+    n = mesh.shape[axis]
+    b, c, h, w = xin.shape
+    assert h % n == 0, f"H={h} must divide over {n} spatial shards"
+    kern_arr = None if kern is None or kern.size == 0 else jnp.asarray(kern)
+
+    body = partial(
+        _local_fixed_solver,
+        axis_name=axis,
+        n=n,
+        h=h,
+        w=w,
+        iso=iso,
+        iso_mode=iso_mode,
+        maxit=maxit,
+    )
+    spec_x = P(None, None, axis, None)
+    spec_s = P()
+    in_specs = (spec_x, spec_s, spec_s) + ((spec_s,) if kern_arr is not None else ())
+    args = (xin, jnp.asarray(lmbd, xin.dtype), jnp.asarray(rho, xin.dtype)) + (
+        (kern_arr,) if kern_arr is not None else ()
+    )
+    if kern_arr is None:
+        fn = lambda x_, l_, r_: body(x_, l_, r_, None)  # noqa: E731
+    else:
+        fn = lambda x_, l_, r_, k_: body(x_, l_, r_, k_)  # noqa: E731
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=spec_x)
+    return jax.jit(sharded)(*args)
+
+
+def spatial_admm_tv_adaptive(
+    xin: jnp.ndarray,
+    lmbd,
+    rho,
+    kern: Optional[jnp.ndarray] = None,
+    iso: bool = False,
+    maxit: int = 500,
+    *,
+    tol: float = 1e-4,
+    mesh: Mesh,
+    axis: str = "space",
+    iso_mode: str = "sample",
+    adapt_rho: bool = True,
+    rho_mu: float = 10.0,
+    rho_scale: float = 2.0,
+) -> AdaptiveResult:
+    """Residual-stopped / adaptive-rho spatial solver: residual norms psum
+    over the space axis so every shard stops and rescales rho jointly."""
+    n = mesh.shape[axis]
+    b, c, h, w = xin.shape
+    assert h % n == 0
+    kern_arr = None if kern is None or kern.size == 0 else jnp.asarray(kern)
+    dtype = xin.dtype
+
+    def local(xin_l, lmbd_s, rho_s, *maybe_kern):
+        kern_l = maybe_kern[0] if maybe_kern else None
+        h_local = xin_l.shape[-2]
+        lmbd_ = jnp.reshape(lmbd_s, ()).astype(dtype)
+        rho0 = jnp.reshape(rho_s, ()).astype(dtype)
+
+        kx, valid = _my_cols(axis, n, w)
+        d2 = grad_abs2_cols(h, w, kx, dtype)
+        if kern_l is None:
+            h_abs2 = jnp.ones((), dtype)
+            hty = xin_l
+        else:
+            otf_c = psf_otf_centered_cols(kern_l, h, w, kx, dtype)
+            h_abs2 = (otf_c.real**2 + otf_c.imag**2).astype(dtype)
+            hty = irfft2_sharded(
+                jnp.conj(otf_c) * rfft2_sharded(xin_l, axis, n, w), axis, n, h_local, w
+            )
+
+        def reduce_all(v):
+            return jax.lax.psum(jnp.sum(v), axis_name=axis)
+
+        scale = jnp.sqrt(reduce_all(jnp.ones_like(xin_l)) * 2.0)
+        zeros = jnp.zeros_like(xin_l)
+        one = jnp.ones((), dtype)
+
+        def cond(carry):
+            k, *_rest, r, s_res, _rho = carry
+            return jnp.logical_and(k < maxit, jnp.logical_or(r > tol, s_res > tol))
+
+        def bodyf(carry):
+            k, x, z_x, z_y, u_x, u_y, _, _, rho_k = carry
+            freq_c = jnp.where(valid[None, :], 1.0 / (h_abs2 + rho_k * d2), 0.0)
+            s_rhs = hty + rho_k * (dx_t_local(z_x - u_x) + dy_t_sharded(z_y - u_y, axis, n))
+            x = irfft2_sharded(freq_c * rfft2_sharded(s_rhs, axis, n, w), axis, n, h_local, w)
+            dxk = dx_local(x)
+            dyk = dy_sharded(x, axis, n)
+            tau = lmbd_ / rho_k
+            z_x_new, z_y_new = _shrink(dxk + u_x, dyk + u_y, tau, iso, iso_mode)
+            u_x = u_x + dxk - z_x_new
+            u_y = u_y + dyk - z_y_new
+
+            rx = dxk - z_x_new
+            ry = dyk - z_y_new
+            r = jnp.sqrt(reduce_all(rx * rx + ry * ry)) / scale
+            sd = rho_k * (
+                dx_t_local(z_x_new - z_x) + dy_t_sharded(z_y_new - z_y, axis, n)
+            )
+            s_res = jnp.sqrt(reduce_all(sd * sd)) / scale
+
+            if adapt_rho:
+                grow = r > rho_mu * s_res
+                shrink_ = s_res > rho_mu * r
+                factor = jnp.where(grow, rho_scale, jnp.where(shrink_, 1.0 / rho_scale, 1.0))
+                rho_k = rho_k * factor
+                u_x = u_x / factor
+                u_y = u_y / factor
+            return (k + 1, x, z_x_new, z_y_new, u_x, u_y, r, s_res, rho_k)
+
+        init = (jnp.zeros((), jnp.int32), zeros, zeros, zeros, zeros, zeros, one, one, rho0)
+        k, x, *_r, r, s_res, rho_f = jax.lax.while_loop(cond, bodyf, init)
+        return x, k, r, s_res, rho_f
+
+    spec_x = P(None, None, axis, None)
+    spec_s = P()
+    in_specs = (spec_x, spec_s, spec_s) + ((spec_s,) if kern_arr is not None else ())
+    out_specs = (spec_x, spec_s, spec_s, spec_s, spec_s)
+    args = (xin, jnp.asarray(lmbd, dtype), jnp.asarray(rho, dtype)) + (
+        (kern_arr,) if kern_arr is not None else ()
+    )
+    sharded = jax.shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    x, k, r, s_res, rho_f = jax.jit(sharded)(*args)
+    return AdaptiveResult(x=x, iters=k, r_norm=r, s_norm=s_res, rho=rho_f)

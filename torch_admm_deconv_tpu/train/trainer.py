@@ -1,0 +1,212 @@
+"""Training harness: jitted update step, epoch loops, metric logging.
+
+Semantic clone of /root/reference/src/admmtor/etrain/trainer.py re-designed
+for JAX: one jitted ``train_step`` fuses forward, loss, backward,
+value-clipped gradients (clip_grad_value_(1), trainer.py:63), AdamW update
+and the post-step lmbda/rho clamp; batches cross host->device once per step.
+Reference behaviours preserved:
+
+* requesting PSNR auto-registers MSE (trainer.py:24-29);
+* the LR scheduler steps once per EVAL batch (trainer.py:104-109 — a
+  reference quirk; set ``scheduler_step_per='train_step'`` for the sane
+  version);
+* epoch end saves via NNSaver keyed on the eval loss and dumps the metric
+  CSV (trainer.py:131-133);
+* a parameter table prints at start (get_model_params, trainer.py:116-128).
+
+The torch version runs the model once to materialize lazy modules
+(trainer.py:40-42); here ``model.init`` on the first batch plays that role.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from torch_admm_deconv_tpu.metrics.losses import MSE, Metric
+from torch_admm_deconv_tpu.models.regularizers import (
+    clip_grads_by_value,
+    train_weight_clipper,
+)
+from torch_admm_deconv_tpu.train.logger import MetricsLogger
+from torch_admm_deconv_tpu.train.saver import NNSaver
+
+
+def make_optimizer(lr: float, betas=(0.9, 0.9), weight_decay: float = 0.01):
+    """AdamW with the reference's betas (scripts/train.py:89), with the
+    learning rate injectable per step (for warm-restart scheduling)."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay
+    )
+
+
+class NNTrainer:
+    def __init__(
+        self,
+        loss: Metric,
+        metrics: Sequence[Metric],
+        saver: Optional[NNSaver],
+        logger: Optional[MetricsLogger] = None,
+        clip_value: float = 1.0,
+        clamp_admm_params: bool = True,
+        scheduler_step_per: str = "eval_batch",
+    ):
+        self.loss = loss
+        self.saver = saver
+        self.logger = logger
+        self.clip_value = clip_value
+        self.clamp_admm_params = clamp_admm_params
+        assert scheduler_step_per in ("eval_batch", "train_step")
+        self.scheduler_step_per = scheduler_step_per
+        self._init_metrics(list(metrics))
+        self._sched_count = 0
+        self.params = None
+        self.opt_state = None
+
+    def _init_metrics(self, metrics):
+        names = [m.m_name for m in metrics]
+        if "psnr" in names and "mse" not in names:
+            self.metrics = metrics + [MSE(metrics[0].device if metrics else None)]
+        else:
+            self.metrics = metrics
+
+    # ------------------------------------------------------------------
+    def _build_steps(self, model, tx):
+        loss_fn_obj = self.loss
+        metrics = self.metrics
+        clip_value = self.clip_value
+        clamp = self.clamp_admm_params
+
+        def forward_loss(params, x, y):
+            out = model.apply(params, x)
+            return loss_fn_obj(out, y), out
+
+        @jax.jit
+        def train_step(params, opt_state, x, y, lr):
+            (lv, out), grads = jax.value_and_grad(forward_loss, has_aux=True)(params, x, y)
+            grads = clip_grads_by_value(grads, clip_value)
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if clamp:
+                params = train_weight_clipper(params)
+            mvals = {m.m_name: m(out, y) for m in metrics}
+            return params, opt_state, lv, mvals
+
+        @jax.jit
+        def eval_step(params, x, y):
+            lv, out = forward_loss(params, x, y)
+            mvals = {m.m_name: m(out, y) for m in metrics}
+            return lv, mvals
+
+        return train_step, eval_step
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        model,
+        optimizer,
+        epochs: int,
+        train_dataloader,
+        eval_dataloader=None,
+        lr_scheduler: Optional[Callable[[int], float]] = None,
+        base_lr: float = 8.8e-4,
+        seed: int = 0,
+        init_params=None,
+    ):
+        first_x, _ = next(iter(train_dataloader))
+        if init_params is None:
+            self.params = model.init(jax.random.PRNGKey(seed), jnp.asarray(first_x))
+        else:
+            self.params = init_params
+        tx = optimizer if optimizer is not None else make_optimizer(base_lr)
+        self.opt_state = tx.init(self.params)
+        self._base_lr = base_lr
+        self._train_step, self._eval_step = self._build_steps(model, tx)
+
+        self.get_model_params(self.params)
+        for epoch in range(epochs):
+            print(f"\n/////////// [ EPOCH: {epoch} ] ///////////")
+            self.train(train_dataloader, lr_scheduler)
+            if eval_dataloader is not None:
+                self.eval(eval_dataloader, lr_scheduler)
+                epoch_loss = self.get_epoch_metrics("eval")[self.loss.m_name]
+            else:
+                epoch_loss = self.get_epoch_metrics("train")[self.loss.m_name]
+            self.on_epoch_end(epoch, epoch_loss)
+        return self.params
+
+    def _current_lr(self, lr_scheduler):
+        if lr_scheduler is None:
+            return self._base_lr
+        return float(lr_scheduler(self._sched_count))
+
+    def train(self, train_dataloader, lr_scheduler=None):
+        if self.logger:
+            self.logger.reinit_step_stats()
+        print("\n [ TRAINING ]")
+        for x, y in train_dataloader:
+            lr = self._current_lr(lr_scheduler)
+            self.params, self.opt_state, lv, mvals = self._train_step(
+                self.params, self.opt_state, jnp.asarray(x), jnp.asarray(y), lr
+            )
+            if self.scheduler_step_per == "train_step":
+                self._sched_count += 1
+            self._update_performance_stats(lv, mvals)
+        if self.logger:
+            self.logger("train")
+            self._print_epoch_metrics("train")
+
+    def eval(self, eval_dataloader, lr_scheduler=None):
+        if self.logger:
+            self.logger.reinit_step_stats()
+        print("\n [ EVALUATING ]")
+        for x, y in eval_dataloader:
+            lv, mvals = self._eval_step(self.params, jnp.asarray(x), jnp.asarray(y))
+            if self.scheduler_step_per == "eval_batch":
+                # reference quirk: scheduler.step() per eval batch
+                self._sched_count += 1
+            self._update_performance_stats(lv, mvals)
+        if self.logger:
+            self.logger("eval")
+            self._print_epoch_metrics("eval")
+
+    # ------------------------------------------------------------------
+    def _update_performance_stats(self, loss_val, metric_vals: Dict):
+        if not self.logger:
+            return
+        self.logger.update_step_metric_val(self.loss.m_name, float(loss_val))
+        for name, val in metric_vals.items():
+            self.logger.update_step_metric_val(name, float(val))
+
+    def _print_epoch_metrics(self, phase: str):
+        msg = " ".join(
+            f"{phase}_{k}: {v:.4f};" for k, v in self.get_epoch_metrics(phase).items()
+        )
+        print("\n" + msg)
+
+    def get_epoch_metrics(self, phase: str) -> Dict[str, float]:
+        return self.logger.get_avg_metrics(phase) if self.logger else {}
+
+    @staticmethod
+    def get_model_params(params) -> int:
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        total = 0
+        print(f"{'Modules':60s} | Parameters")
+        for path, leaf in flat:
+            n = int(np.prod(np.asarray(leaf).shape)) if hasattr(leaf, "shape") else 1
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            print(f"{name:60s} | {n}")
+            total += n
+        print(f"Total Trainable Params: {total}")
+        return total
+
+    def on_epoch_end(self, epoch: int, loss_val: float):
+        if self.saver is None:
+            return
+        logs = self.logger.get_logged(reformat=True) if self.logger else None
+        self.saver.save_on_epoch_end(epoch, self.params, self.opt_state, loss_val, logs)
