@@ -21,7 +21,11 @@ import time
 import numpy as np
 
 
-def bench_tpu(batch=8, size=512, maxit=200, repeats=5, psf_size=9):
+def bench_tpu(batch=8, size=512, maxit=200, chain=6, psf_size=9):
+    """Chained-solve timing: the device tunnel's block_until_ready returns
+    before execution completes, so each measurement fetches the result to
+    host and the per-solve time comes from the difference between a
+    chain-of-N and a chain-of-1 (transfer/dispatch overhead cancels)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -32,18 +36,35 @@ def bench_tpu(batch=8, size=512, maxit=200, repeats=5, psf_size=9):
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, 3, size, size), dtype=np.float32))
-    psf = _gaussian_psf(psf_size, 1.5)
-    kern = jnp.asarray(psf, jnp.float32)
+    kern = jnp.asarray(_gaussian_psf(psf_size, 1.5))
 
-    def run():
-        return admm_tv(x, 0.002, 0.5, kern, iso=False, maxit=maxit, use_pallas=True)
+    def solver(v):
+        return admm_tv(v, 0.002, 0.5, kern, iso=False, maxit=maxit, use_pallas=True)
 
-    run().block_until_ready()  # compile
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = run()
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / repeats
+    def make_chain(n):
+        @jax.jit
+        def chained(v):
+            def body(c, _):
+                return solver(c), None
+
+            out, _ = jax.lax.scan(body, v, None, length=n)
+            return out
+
+        return chained
+
+    def timed_fetch(fn, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    c1, cn = make_chain(1), make_chain(chain)
+    np.asarray(c1(x))
+    np.asarray(cn(x))  # compile both
+    t1, tn = timed_fetch(c1), timed_fetch(cn)
+    dt = (tn - t1) / (chain - 1)
     return maxit / dt, dt
 
 

@@ -1,0 +1,162 @@
+"""Quantitative benchmark harness — the script form of the reference's
+notebooks/eval_algs.ipynb (SURVEY.md §3.4).
+
+Per eval image: run the trained restoration model (and optionally the
+classical TV-ADMM solver, a NAFNet checkpoint, and BM3D when the ``bm3d``
+package exists — it is not in this environment, so it is gated exactly like
+the reference's undeclared deps); compute per-image SSIM / PSNR / SCC /
+UIQ / MSE; write clean/noisy/restored PNGs and a per-method metrics.csv;
+print the notebook's summary stats (mean SSIM/UIQ/SCC, PSNR from mean MSE —
+eval_algs.ipynb cell 12).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _to_png(path: Path, chw: np.ndarray):
+    from PIL import Image
+
+    arr = np.clip(chw * 255.0, 0, 255).astype(np.uint8).transpose(1, 2, 0)
+    Image.fromarray(arr.squeeze() if arr.shape[-1] == 1 else arr).save(path)
+
+
+def run_bm3d(noisy_chw: np.ndarray):
+    try:
+        import bm3d
+        from skimage.restoration import estimate_sigma
+    except ImportError:
+        return None
+    hwc = noisy_chw.transpose(1, 2, 0)
+    sigma = float(np.mean(estimate_sigma(hwc, channel_axis=-1)))
+    return bm3d.bm3d_rgb(hwc, sigma_psd=sigma, profile="deb").transpose(2, 0, 1)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Evaluate restoration methods")
+    parser.add_argument("--x_dir", required=True, help="degraded inputs dir")
+    parser.add_argument("--y_dir", required=True, help="clean targets dir")
+    parser.add_argument("--save_path", default="eval_out")
+    parser.add_argument("--ckpt", default=None, help="trained model checkpoint (.tar)")
+    parser.add_argument("--model", default="divergent",
+                        choices=["divergent", "classical"],
+                        help="divergent: DivergentRestorer ckpt; classical: TV-ADMM solver")
+    parser.add_argument("--crop", type=int, default=256)
+    parser.add_argument("--awgn", type=int, default=15, help="AWGN sigma added to x (0=off)")
+    parser.add_argument("--lmbd", type=float, default=0.05)
+    parser.add_argument("--rho", type=float, default=1.0)
+    parser.add_argument("--maxit", type=int, default=100)
+    parser.add_argument("--model_cfg", default=None,
+                        help="json with level_branches/filters/... for the ckpt model")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from torch_admm_deconv_tpu.data import AddAWGN, DataLoader, ImageDataset, RandCrop, Scale
+    from torch_admm_deconv_tpu.metrics import functional as F
+    from torch_admm_deconv_tpu.ops.solver import admm_tv
+    from torch_admm_deconv_tpu.train import load_checkpoint
+
+    save = Path(args.save_path)
+    save.mkdir(parents=True, exist_ok=True)
+
+    transforms = [RandCrop(args.crop), Scale()]
+    if args.awgn > 0:
+        transforms.append(AddAWGN(std_range=(args.awgn, args.awgn + 1)))
+    dset = ImageDataset(Path(args.x_dir), Path(args.y_dir), transforms=transforms)
+    loader = DataLoader(dset, batch_size=1, shuffle=False, seed=0, drop_last=False)
+
+    model_apply = None
+    if args.model == "divergent" and args.ckpt:
+        import json
+
+        from torch_admm_deconv_tpu.models.denoiser import (
+            DivergentRestorer,
+            flagship_divergent_restorer,
+        )
+
+        if args.model_cfg:
+            cfg = json.load(open(args.model_cfg))
+            admm = {"kern_size": (), "max_iters": cfg.get("admm_iters", 100), "iso": True,
+                    "remat": True}
+            model = DivergentRestorer(
+                level_branches=cfg.get("level_branches", [2, 8, 32]),
+                in_channels=3, final_channels=3,
+                filters=cfg.get("filters", 86),
+                gate_channels=cfg.get("filters", 86),
+                attention_reduction=cfg.get("attention_reduction", 8),
+                output_activation=jax.nn.sigmoid,
+                admms=[dict(admm), dict(admm)],
+            )
+        else:
+            model = flagship_divergent_restorer()
+        params = jax.tree_util.tree_map(
+            jnp.asarray, load_checkpoint(args.ckpt)["model_state_dict"]
+        )
+        model_apply = jax.jit(lambda x: model.apply(params, x))
+
+    metric_fns = {
+        "ssim": lambda p, t: F.ssim(p, t),
+        "psnr": lambda p, t: F.psnr(p, t),
+        "scc": lambda p, t: F.scc(p, t),
+        "uiq": lambda p, t: F.uiq(p, t),
+        "mse": lambda p, t: F.mse(p, t),
+    }
+    metric_fns = {k: jax.jit(v) for k, v in metric_fns.items()}
+
+    methods = ["admm" if args.model == "classical" or model_apply is None else "model"]
+    if run_bm3d(np.zeros((3, 8, 8), np.float32)) is not None:
+        methods.append("bm3d")
+
+    rows = []
+    t_start = time.time()
+    for i, (x, y) in enumerate(loader):
+        xj, yj = jnp.asarray(x), jnp.asarray(y)
+        outs = {}
+        if model_apply is not None and args.model == "divergent":
+            outs["model"] = model_apply(xj)
+        else:
+            outs["admm"] = admm_tv(xj, args.lmbd, args.rho, None, iso=True, maxit=args.maxit)
+        if "bm3d" in methods:
+            outs["bm3d"] = jnp.asarray(run_bm3d(np.asarray(x[0])))[None]
+
+        _to_png(save / f"{i:03d}_clean.png", np.asarray(y[0]))
+        _to_png(save / f"{i:03d}_noisy.png", np.asarray(x[0]))
+        for name, out in outs.items():
+            _to_png(save / f"{i:03d}_{name}.png", np.asarray(out[0]))
+            row = {"image": i, "method": name}
+            for mk, mf in metric_fns.items():
+                row[mk] = float(mf(out, yj))
+            rows.append(row)
+    wall = time.time() - t_start
+
+    with open(save / "metrics.csv", "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["image", "method", "ssim", "psnr", "scc", "uiq", "mse"])
+        writer.writeheader()
+        writer.writerows(rows)
+
+    # notebook-style summary: mean SSIM/UIQ/SCC, PSNR from mean MSE
+    for method in sorted({r["method"] for r in rows}):
+        sel = [r for r in rows if r["method"] == method]
+        mean_mse = float(np.mean([r["mse"] for r in sel]))
+        print(
+            f"{method}: SSIM={np.mean([r['ssim'] for r in sel]):.4f} "
+            f"UIQ={np.mean([r['uiq'] for r in sel]):.4f} "
+            f"SCC={np.mean([r['scc'] for r in sel]):.4f} "
+            f"PSNR(from mean MSE)={10 * np.log10(1.0 / mean_mse):.3f} dB "
+            f"({len(sel)} images, {wall / max(len(loader), 1):.2f} s/image)"
+        )
+
+
+if __name__ == "__main__":
+    main()

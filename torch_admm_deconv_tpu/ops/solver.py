@@ -71,6 +71,23 @@ def _x_update(s: jnp.ndarray, freq_c: jnp.ndarray, im_shape: Tuple[int, int]) ->
     return jnp.fft.irfft2(freq_c * jnp.fft.rfft2(s, axes=(-2, -1)), s=im_shape, axes=(-2, -1))
 
 
+def _resolve_fft_impl(fft_impl: str) -> str:
+    """'auto' picks the MXU matmul-DFT on TPU (XLA's FFT lowering runs at a
+    few percent of roofline there — see ops/mxu_fft.py), XLA FFT elsewhere."""
+    if fft_impl == "auto":
+        return "mxu" if jax.default_backend() == "tpu" else "xla"
+    return fft_impl
+
+
+def _make_x_update(fft_impl: str, freq_c, im_shape):
+    if fft_impl == "mxu":
+        from torch_admm_deconv_tpu.ops.mxu_fft import dft_mats, freq_solve_mxu
+
+        mats = dft_mats(*im_shape)
+        return lambda s: freq_solve_mxu(s, freq_c, mats)
+    return lambda s: _x_update(s, freq_c, im_shape)
+
+
 def _htran(xin, kern, im_shape, dtype):
     """Loop-invariant H^T x_in, computed in the frequency domain.
 
@@ -102,9 +119,9 @@ def _elementwise_step(x, u_x, u_y, hty, rho, tau, iso, iso_mode):
     return s, z_x, z_y, u_x, u_y
 
 
-def _make_step(freq_c, hty, rho, tau, iso, iso_mode, im_shape, elementwise):
+def _make_step(x_update, hty, rho, tau, iso, iso_mode, elementwise):
     def step(state: ADMMState, _):
-        x = _x_update(state.s, freq_c, im_shape)
+        x = x_update(state.s)
         s, _, _, u_x, u_y = elementwise(x, state.u_x, state.u_y, hty, rho, tau, iso, iso_mode)
         return ADMMState(x=x, s=s, u_x=u_x, u_y=u_y), None
 
@@ -113,7 +130,7 @@ def _make_step(freq_c, hty, rho, tau, iso, iso_mode, im_shape, elementwise):
 
 @partial(
     jax.jit,
-    static_argnames=("iso", "maxit", "iso_mode", "remat", "use_pallas"),
+    static_argnames=("iso", "maxit", "iso_mode", "remat", "use_pallas", "fft_impl"),
 )
 def admm_tv(
     xin: jnp.ndarray,
@@ -126,6 +143,7 @@ def admm_tv(
     iso_mode: str = "compat",
     remat: bool = False,
     use_pallas: bool = False,
+    fft_impl: str = "auto",
 ) -> jnp.ndarray:
     """Fixed-iteration TV-ADMM (reference-parity path, differentiable).
 
@@ -163,7 +181,8 @@ def admm_tv(
 
         elementwise = fused_elementwise_step
 
-    step = _make_step(freq_c, hty, rho, tau, iso, iso_mode, im_shape, elementwise)
+    x_update = _make_x_update(_resolve_fft_impl(fft_impl), freq_c, im_shape)
+    step = _make_step(x_update, hty, rho, tau, iso, iso_mode, elementwise)
     if remat:
         step = jax.checkpoint(step)
 
@@ -197,7 +216,7 @@ class AdaptiveResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("iso", "maxit", "iso_mode", "adapt_rho", "psum_axis"),
+    static_argnames=("iso", "maxit", "iso_mode", "adapt_rho", "psum_axis", "fft_impl"),
 )
 def admm_tv_adaptive(
     xin: jnp.ndarray,
@@ -214,6 +233,7 @@ def admm_tv_adaptive(
     rho_scale: float = 2.0,
     check_every: int = 1,
     psum_axis: Optional[str] = None,
+    fft_impl: str = "auto",
 ) -> AdaptiveResult:
     """Classical TV-ADMM with residual stopping and adaptive rho.
 
@@ -261,6 +281,15 @@ def admm_tv_adaptive(
 
     zeros = jnp.zeros_like(xin)
 
+    impl = _resolve_fft_impl(fft_impl)
+    if impl == "mxu":
+        from torch_admm_deconv_tpu.ops.mxu_fft import dft_mats, freq_solve_mxu
+
+        mats = dft_mats(*im_shape)
+        solve = lambda s_rhs, freq_c: freq_solve_mxu(s_rhs, freq_c, mats)  # noqa: E731
+    else:
+        solve = lambda s_rhs, freq_c: _x_update(s_rhs, freq_c, im_shape)  # noqa: E731
+
     def cond2(carry):
         (k, x, z_x, z_y, u_x, u_y, r, s, rho_k) = carry
         return jnp.logical_and(k < maxit, jnp.logical_or(r > tol, s > tol))
@@ -269,7 +298,7 @@ def admm_tv_adaptive(
         (k, x, z_x, z_y, u_x, u_y, _, _, rho_k) = carry
         freq_c = 1.0 / (h_abs2 + rho_k * d2)
         s_rhs = hty + rho_k * (fdops.dx_t(z_x - u_x) + fdops.dy_t(z_y - u_y))
-        x = _x_update(s_rhs, freq_c, im_shape)
+        x = solve(s_rhs, freq_c)
         dxk = fdops.dx(x)
         dyk = fdops.dy(x)
         tau = lmbd / rho_k
