@@ -34,6 +34,10 @@ from torch_admm_deconv_tpu.models.denoiser import (  # noqa: F401
     DivergentRestorer,
     flagship_divergent_restorer,
 )
+from torch_admm_deconv_tpu.models.denoiser_v2 import (  # noqa: F401
+    RestorerV2,
+    RestorerV2Block,
+)
 from torch_admm_deconv_tpu.models.fusion import ADMMFusion, Deconvs  # noqa: F401
 from torch_admm_deconv_tpu.models.layers_common import (  # noqa: F401
     Conv2d,
