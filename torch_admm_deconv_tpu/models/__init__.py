@@ -39,6 +39,10 @@ from torch_admm_deconv_tpu.models.denoiser_v2 import (  # noqa: F401
     RestorerV2Block,
 )
 from torch_admm_deconv_tpu.models.fusion import ADMMFusion, Deconvs  # noqa: F401
+from torch_admm_deconv_tpu.models.learned_prox import (  # noqa: F401
+    LearnedProxADMM,
+    ProxNet,
+)
 from torch_admm_deconv_tpu.models.layers_common import (  # noqa: F401
     Conv2d,
     ConvTranspose2d,
