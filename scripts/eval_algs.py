@@ -57,6 +57,9 @@ def main():
     parser.add_argument("--maxit", type=int, default=100)
     parser.add_argument("--model_cfg", default=None,
                         help="json with level_branches/filters/... for the ckpt model")
+    parser.add_argument("--nafnet_ckpt", default=None,
+                        help="optional NAFNet comparison checkpoint (.tar)")
+    parser.add_argument("--nafnet_width", type=int, default=64)
     args = parser.parse_args()
 
     import jax
@@ -105,6 +108,19 @@ def main():
         )
         model_apply = jax.jit(lambda x: model.apply(params, x))
 
+    nafnet_apply = None
+    if args.nafnet_ckpt:
+        from torch_admm_deconv_tpu.models.nafnet import NAFNet
+
+        nafnet = NAFNet(
+            img_channel=3, width=args.nafnet_width, middle_blk_num=12,
+            enc_blk_nums=[2, 2, 4, 8], dec_blk_nums=[2, 2, 2, 2],
+        )  # the comparison config of eval_algs.ipynb cell 2
+        nf_params = jax.tree_util.tree_map(
+            jnp.asarray, load_checkpoint(args.nafnet_ckpt)["model_state_dict"]
+        )
+        nafnet_apply = jax.jit(lambda x: nafnet.apply(nf_params, x))
+
     metric_fns = {
         "ssim": lambda p, t: F.ssim(p, t),
         "psnr": lambda p, t: F.psnr(p, t),
@@ -127,6 +143,8 @@ def main():
             outs["model"] = model_apply(xj)
         else:
             outs["admm"] = admm_tv(xj, args.lmbd, args.rho, None, iso=True, maxit=args.maxit)
+        if nafnet_apply is not None:
+            outs["nafnet"] = nafnet_apply(xj)
         if "bm3d" in methods:
             outs["bm3d"] = jnp.asarray(run_bm3d(np.asarray(x[0])))[None]
 

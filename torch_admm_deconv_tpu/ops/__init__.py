@@ -17,7 +17,13 @@ from torch_admm_deconv_tpu.ops.fdops import (  # noqa: F401
     htran_operator,
     psf_otf,
 )
+from torch_admm_deconv_tpu.ops.mxu_fft import (  # noqa: F401
+    freq_solve_mxu,
+    irfft2_mxu,
+    rfft2_mxu,
+)
 from torch_admm_deconv_tpu.ops.solver import (  # noqa: F401
+    AdaptiveResult,
     ADMMState,
     admm_tv,
     admm_tv_adaptive,
