@@ -21,11 +21,11 @@ import time
 import numpy as np
 
 
-def bench_tpu(batch=8, size=512, maxit=200, chain=6, psf_size=9):
-    """Chained-solve timing: the device tunnel's block_until_ready returns
-    before execution completes, so each measurement fetches the result to
-    host and the per-solve time comes from the difference between a
-    chain-of-N and a chain-of-1 (transfer/dispatch overhead cancels)."""
+def bench_tpu(batch=8, size=512, maxit=200, psf_size=9):
+    """Iteration-scaling timing: time the same solver at two iteration
+    counts and difference them — fetch/dispatch overhead (large over the
+    device tunnel, whose block_until_ready does not await completion)
+    cancels, and the compiled graph stays small."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -33,39 +33,17 @@ def bench_tpu(batch=8, size=512, maxit=200, chain=6, psf_size=9):
     import jax.numpy as jnp
 
     from torch_admm_deconv_tpu.ops.solver import admm_tv
+    from torch_admm_deconv_tpu.utils.profiling import iter_scaling_throughput
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, 3, size, size), dtype=np.float32))
     kern = jnp.asarray(_gaussian_psf(psf_size, 1.5))
 
-    def solver(v):
-        return admm_tv(v, 0.002, 0.5, kern, iso=False, maxit=maxit, use_pallas=True)
+    def solver_of_maxit(m):
+        return lambda v: admm_tv(v, 0.002, 0.5, kern, iso=False, maxit=m, use_pallas=True)
 
-    def make_chain(n):
-        @jax.jit
-        def chained(v):
-            def body(c, _):
-                return solver(c), None
-
-            out, _ = jax.lax.scan(body, v, None, length=n)
-            return out
-
-        return chained
-
-    def timed_fetch(fn, reps=3):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(fn(x))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    c1, cn = make_chain(1), make_chain(chain)
-    np.asarray(c1(x))
-    np.asarray(cn(x))  # compile both
-    t1, tn = timed_fetch(c1), timed_fetch(cn)
-    dt = (tn - t1) / (chain - 1)
-    return maxit / dt, dt
+    per_iter = iter_scaling_throughput(solver_of_maxit, x, m_small=maxit, m_big=5 * maxit)
+    return 1.0 / per_iter, per_iter * maxit
 
 
 def _gaussian_psf(size, sigma):

@@ -52,6 +52,43 @@ def test_solver_mxu_matches_xla(rng):
     np.testing.assert_allclose(b, a, atol=2e-3)
 
 
+@pytest.mark.parametrize("h,w", [(16, 16), (32, 24), (17, 23)])
+def test_dht_freq_solve_matches_xla(rng, h, w):
+    """Hartley path == complex path for per-axis-even spectra."""
+    from torch_admm_deconv_tpu.ops.fdops import grad_otf_abs2
+    from torch_admm_deconv_tpu.ops.mxu_fft import freq_solve_dht, mirror_freq_full
+
+    s = jnp.asarray(rng.normal(size=(2, 3, h, w)), jnp.float32)
+    freq_c = (1.0 / (1.0 + 0.7 * grad_otf_abs2((h, w)))).astype(jnp.float32)
+    want = jnp.fft.irfft2(freq_c * jnp.fft.rfft2(s, axes=(-2, -1)), s=(h, w), axes=(-2, -1))
+    got = freq_solve_dht(s, mirror_freq_full(freq_c, w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_solver_dht_matches_xla_denoise_and_symmetric_psf(rng):
+    from tests.oracles.numpy_admm import gaussian_psf
+
+    x = jnp.asarray(rng.normal(size=(1, 3, 32, 32)) * 0.1 + 0.5, jnp.float32)
+    a = np.asarray(admm_tv(x, 0.05, 1.0, None, iso=True, maxit=40, fft_impl="xla"))
+    b = np.asarray(admm_tv(x, 0.05, 1.0, None, iso=True, maxit=40, fft_impl="dht"))
+    np.testing.assert_allclose(b, a, atol=2e-3)
+    psf = jnp.asarray(gaussian_psf(5, 1.0), jnp.float32)
+    a2 = np.asarray(admm_tv(x, 0.02, 1.0, psf, maxit=40, fft_impl="xla"))
+    b2 = np.asarray(admm_tv(x, 0.02, 1.0, psf, maxit=40, fft_impl="dht"))
+    np.testing.assert_allclose(b2, a2, atol=2e-3)
+
+
+def test_psf_symmetry_detection():
+    from tests.oracles.numpy_admm import gaussian_psf
+    from torch_admm_deconv_tpu.ops.mxu_fft import psf_is_axis_symmetric
+
+    assert psf_is_axis_symmetric(None)
+    assert psf_is_axis_symmetric(jnp.asarray(gaussian_psf(7, 1.5)))
+    motion = np.zeros((1, 1, 5, 5), np.float32)
+    motion[0, 0, 2, 1:5] = 0.25  # asymmetric motion blur
+    assert not psf_is_axis_symmetric(jnp.asarray(motion))
+
+
 def test_solver_mxu_differentiable(rng):
     x = jnp.asarray(rng.normal(size=(1, 1, 16, 16)) * 0.1 + 0.5, jnp.float32)
 

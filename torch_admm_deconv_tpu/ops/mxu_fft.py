@@ -64,7 +64,11 @@ def dft_mats(h: int, w: int):
 
 
 def _mm(a, b):
-    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+    # HIGHEST: TPU f32 matmuls otherwise run as bf16 passes — the DFT's
+    # roundoff then amplifies through the solver's shrinkage nonlinearity
+    return jnp.matmul(
+        a, b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH
+    )
 
 
 def rfft2_mxu(x: jnp.ndarray, mats=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -108,3 +112,69 @@ def freq_solve_mxu(s: jnp.ndarray, freq_c: jnp.ndarray, mats=None) -> jnp.ndarra
     mats = mats if mats is not None else dft_mats(h, w)
     yr, yi = rfft2_mxu(s, mats)
     return irfft2_mxu(freq_c * yr, freq_c * yi, mats)
+
+
+# ---------------------------------------------------------------------------
+# Hartley fast path: 4 real matmuls instead of 12
+# ---------------------------------------------------------------------------
+#
+# The x-update kernel's spectrum freq_c = 1/(|H_hat|^2 + rho |D_hat|^2) is
+# EVEN PER AXIS whenever |H_hat|^2 is (always in empty-kernel denoising mode
+# — the mode all trained reference models use — and for symmetric PSFs).
+# A circulant operator whose eigenvalues satisfy F(ky,kx) = F(-ky,kx) =
+# F(ky,-kx) is diagonalized by the separable cas basis (cas = cos + sin):
+# every cas_h x cas_w tensor vector combines the four exponentials
+# (+-ky, +-kx), which all share one eigenvalue. So
+#   x = (T_h/h) [ Lambda . (T_h s T_w^T) ] (T_w/w)^T
+# with T_N[k, n] = cas(2 pi k n / N) — two real matmuls per direction,
+# no complex arithmetic, ~1.5x fewer MXU FLOPs than the rDFT form.
+
+
+@lru_cache(maxsize=32)
+def _cas_mats_np(h: int, w: int):
+    n_h = np.arange(h)
+    ang_h = 2.0 * np.pi * np.outer(n_h, n_h) / h
+    th = (np.cos(ang_h) + np.sin(ang_h)).astype(np.float32)  # symmetric
+    n_w = np.arange(w)
+    ang_w = 2.0 * np.pi * np.outer(n_w, n_w) / w
+    tw = (np.cos(ang_w) + np.sin(ang_w)).astype(np.float32)
+    return th, tw
+
+
+def cas_mats(h: int, w: int):
+    th, tw = _cas_mats_np(h, w)
+    return jnp.asarray(th), jnp.asarray(tw)
+
+
+def mirror_freq_full(freq_c: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(H, Wf) rfft-grid spectrum -> full (H, W) grid by hermitian mirror
+    (valid because the spectrum is real and per-axis even)."""
+    body = freq_c[:, 1 : (w + 1) // 2]
+    return jnp.concatenate([freq_c[:, : w // 2 + 1], body[:, ::-1]], axis=-1)
+
+
+def freq_solve_dht(s: jnp.ndarray, freq_full: jnp.ndarray, mats=None) -> jnp.ndarray:
+    """x-update via the separable Hartley transform. ``freq_full`` is the
+    full (H, W) per-axis-even spectrum (see :func:`mirror_freq_full`).
+    Requires a per-axis-even spectrum — callers must gate on that."""
+    h, w = s.shape[-2], s.shape[-1]
+    th, tw = mats if mats is not None else cas_mats(h, w)
+
+    def hstage(v, mat):
+        return jnp.swapaxes(_mm(jnp.swapaxes(v, -2, -1), mat), -2, -1)
+
+    y = _mm(hstage(s, th), tw)  # T_h s T_w^T (T symmetric)
+    y = y * freq_full
+    return _mm(hstage(y, th), tw) / (h * w)
+
+
+def psf_is_axis_symmetric(kern) -> bool:
+    """True when the PSF gives a per-axis-even |OTF|^2: even per axis up to
+    circular shift. Checked for the common case kern[i,j]==kern[-i,-j] per
+    axis (e.g. gaussian); conservative False otherwise."""
+    if kern is None or kern.size == 0:
+        return True
+    k = np.asarray(kern).reshape(kern.shape[-2], kern.shape[-1])
+    return bool(
+        np.allclose(k, k[::-1, :], atol=1e-7) and np.allclose(k, k[:, ::-1], atol=1e-7)
+    )

@@ -71,15 +71,36 @@ def _x_update(s: jnp.ndarray, freq_c: jnp.ndarray, im_shape: Tuple[int, int]) ->
     return jnp.fft.irfft2(freq_c * jnp.fft.rfft2(s, axes=(-2, -1)), s=im_shape, axes=(-2, -1))
 
 
-def _resolve_fft_impl(fft_impl: str) -> str:
-    """'auto' picks the MXU matmul-DFT on TPU (XLA's FFT lowering runs at a
-    few percent of roofline there — see ops/mxu_fft.py), XLA FFT elsewhere."""
-    if fft_impl == "auto":
-        return "mxu" if jax.default_backend() == "tpu" else "xla"
-    return fft_impl
+def _resolve_fft_impl(fft_impl: str, kern=None) -> str:
+    """'auto' picks the Hartley matmul path on TPU when the x-update
+    spectrum is per-axis even (no/symmetric PSF), else the complex MXU DFT;
+    XLA FFT elsewhere (see ops/mxu_fft.py for the rationale)."""
+    if fft_impl != "auto":
+        return fft_impl
+    if jax.default_backend() != "tpu":
+        return "xla"
+    from torch_admm_deconv_tpu.ops.mxu_fft import psf_is_axis_symmetric
+
+    concrete = kern is None or isinstance(kern, (int, float)) or hasattr(kern, "__array__")
+    try:
+        if concrete and psf_is_axis_symmetric(kern):
+            return "dht"
+    except Exception:  # traced kernel (learnable PSF): symmetry unknown
+        pass
+    return "mxu"
 
 
 def _make_x_update(fft_impl: str, freq_c, im_shape):
+    if fft_impl == "dht":
+        from torch_admm_deconv_tpu.ops.mxu_fft import (
+            cas_mats,
+            freq_solve_dht,
+            mirror_freq_full,
+        )
+
+        mats = cas_mats(*im_shape)
+        freq_full = mirror_freq_full(freq_c, im_shape[1])
+        return lambda s: freq_solve_dht(s, freq_full, mats)
     if fft_impl == "mxu":
         from torch_admm_deconv_tpu.ops.mxu_fft import dft_mats, freq_solve_mxu
 
@@ -181,7 +202,7 @@ def admm_tv(
 
         elementwise = fused_elementwise_step
 
-    x_update = _make_x_update(_resolve_fft_impl(fft_impl), freq_c, im_shape)
+    x_update = _make_x_update(_resolve_fft_impl(fft_impl, kern), freq_c, im_shape)
     step = _make_step(x_update, hty, rho, tau, iso, iso_mode, elementwise)
     if remat:
         step = jax.checkpoint(step)
@@ -281,8 +302,20 @@ def admm_tv_adaptive(
 
     zeros = jnp.zeros_like(xin)
 
-    impl = _resolve_fft_impl(fft_impl)
-    if impl == "mxu":
+    impl = _resolve_fft_impl(fft_impl, kern)
+    if impl == "dht":
+        from torch_admm_deconv_tpu.ops.mxu_fft import (
+            cas_mats,
+            freq_solve_dht,
+            mirror_freq_full,
+        )
+
+        cmats = cas_mats(*im_shape)
+
+        def solve(s_rhs, freq_c):
+            return freq_solve_dht(s_rhs, mirror_freq_full(freq_c, im_shape[1]), cmats)
+
+    elif impl == "mxu":
         from torch_admm_deconv_tpu.ops.mxu_fft import dft_mats, freq_solve_mxu
 
         mats = dft_mats(*im_shape)
