@@ -5,6 +5,7 @@ from torch_admm_deconv_tpu.models.attention import (  # noqa: F401
     BasicConv,
     ChannelCompression,
     ChannelGate,
+    ChannelPool,
     ChannelWiseAttention,
     SpatialGate,
     channel_pool,
@@ -49,6 +50,7 @@ from torch_admm_deconv_tpu.models.layers_common import (  # noqa: F401
     InstanceNorm2d,
     LayerNorm2d,
     Linear,
+    default_init_weights,
     same_padding,
 )
 from torch_admm_deconv_tpu.models.local_patch import (  # noqa: F401

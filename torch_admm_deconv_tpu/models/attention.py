@@ -232,6 +232,15 @@ def channel_pool(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([std, med, mode], axis=1)
 
 
+class ChannelPool(nn.Module):
+    """Module form of :func:`channel_pool` (reference ``ChannelPool``,
+    attentions.py:38-47) — stateless, provided for API parity."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return channel_pool(x)
+
+
 class SpatialGate(nn.Module):
     """x * sigmoid(conv(channel_pool(x))) (attentions.py:50-60)."""
 

@@ -40,6 +40,12 @@ def xavier_normal_conv(key, shape, dtype=jnp.float32):
     return std * jax.random.normal(key, shape, dtype)
 
 
+#: Exact-name alias for the reference's ``default_init_weights``
+#: (blocks.py:345-352 — xavier-normal over conv kernels). In the functional
+#: JAX design this is a flax ``kernel_init`` rather than an in-place mutator.
+default_init_weights = xavier_normal_conv
+
+
 def kaiming_uniform_conv(key, shape, dtype=jnp.float32):
     """torch Conv2d default init: kaiming uniform with a=sqrt(5)."""
     o, i, kh, kw = shape
