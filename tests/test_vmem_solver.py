@@ -1,0 +1,74 @@
+"""Parity of the whole-solve-in-VMEM Pallas kernel vs the scan solver.
+
+Runs in pallas interpret mode on CPU (tests/conftest.py forces the cpu
+backend); on TPU the same code compiles via Mosaic. Shapes use w=128 to
+satisfy the kernel's lane-alignment gate.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.oracles import numpy_admm as oracle
+from torch_admm_deconv_tpu.kernels.vmem_solver import (
+    admm_tv_vmem,
+    vmem_solve_available,
+)
+from torch_admm_deconv_tpu.ops.solver import admm_tv
+
+
+def _noisy(rng, b=2, c=3, h=16, w=128):
+    return jnp.asarray(
+        rng.normal(size=(b, c, h, w)) * 0.1 + 0.5, jnp.float32
+    )
+
+
+def test_denoise_matches_scan_solver(rng):
+    x = _noisy(rng)
+    want = admm_tv(x, 0.05, 0.8, None, iso=False, maxit=20, fft_impl="xla")
+    got = admm_tv_vmem(x, 0.05, 0.8, None, iso=False, maxit=20)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+
+
+def test_joint_iso_matches_scan_solver(rng):
+    x = _noisy(rng)
+    want = admm_tv(
+        x, 0.05, 0.8, None, iso=True, maxit=15, iso_mode="joint", fft_impl="xla"
+    )
+    got = admm_tv_vmem(x, 0.05, 0.8, None, iso=True, maxit=15, iso_mode="joint")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+
+
+def test_symmetric_psf_matches_scan_solver(rng):
+    psf = jnp.asarray(oracle.gaussian_psf(5, 1.0), jnp.float32)
+    x = _noisy(rng, b=1, c=1)
+    want = admm_tv(x, 0.01, 1.0, psf, iso=False, maxit=20, fft_impl="xla")
+    got = admm_tv_vmem(x, 0.01, 1.0, psf, iso=False, maxit=20)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+
+
+def test_admm_tv_use_pallas_routes_to_vmem(rng):
+    """use_pallas=True on an eligible config must agree with the XLA path."""
+    x = _noisy(rng, b=1, c=2)
+    want = admm_tv(x, 0.05, 0.8, None, iso=False, maxit=10, fft_impl="xla")
+    got = admm_tv(x, 0.05, 0.8, None, iso=False, maxit=10, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "shape,kern,iso,iso_mode,ok",
+    [
+        ((2, 3, 16, 128), None, False, "compat", True),
+        ((2, 3, 16, 128), None, True, "joint", True),
+        ((2, 3, 16, 128), None, True, "compat", False),  # batch-coupled
+        ((2, 3, 16, 100), None, False, "compat", False),  # lane misaligned
+        ((2, 3, 2048, 2048), None, False, "compat", False),  # VMEM budget
+    ],
+)
+def test_availability_gate(shape, kern, iso, iso_mode, ok):
+    assert vmem_solve_available(shape, jnp.float32, kern, iso, iso_mode) == ok
+
+
+def test_asymmetric_psf_not_available(rng):
+    k = jnp.asarray(rng.random((1, 1, 3, 3)), jnp.float32)
+    assert not vmem_solve_available((1, 1, 16, 128), jnp.float32, k, False, "compat")

@@ -1,0 +1,251 @@
+"""Pallas TPU kernel: the ENTIRE fixed-iteration TV-ADMM solve in VMEM.
+
+The scan-based solver (ops/solver.py) pays, per iteration, one HBM
+round-trip for the x-update matmuls plus one fused elementwise pass —
+~7 plane-sized HBM transfers per iteration even with the fused step kernel
+(kernels/fused_admm.py). But one 512x512 f32 plane is 1 MB: the whole ADMM
+state for an image plane (s, u_x, u_y) plus the shape-constant Hartley
+matrices and spectrum fit comfortably in VMEM. This kernel therefore runs
+ALL ``maxit`` iterations with the state resident on-chip:
+
+    per grid program (one (batch*channel) plane):
+        s <- hty, u <- 0                               (VMEM init)
+        repeat maxit:
+            x  = T_h ((T_h s T_w) * freq) T_w / (h*w)   (4 MXU matmuls)
+            dx, dy, shrink, dual, next s                (VPU + pltpu.roll)
+        write x                                        (one HBM store)
+
+HBM traffic for a whole B-image solve collapses to read(hty) + write(x)
+(+ the ~3 MB of shape constants, fetched once): ~50x less than the
+scan path at maxit=200. The x-update uses the separable Hartley (cas)
+factorization (see ops/mxu_fft.py) — valid whenever the x-update spectrum is
+even per axis, i.e. for the empty-kernel denoising mode every trained
+reference model uses and for symmetric PSFs (gaussian etc.); callers gate
+via :func:`vmem_solve_available`.
+
+The reference has no analog of any of this — its solver is ~10 separate
+CUDA kernel launches per iteration with all state in HBM
+(/root/reference/src/admmtor/eops/deconv.py:103-115).
+
+Not differentiable (raw pallas_call): this is the inference/classical-solve
+fast path. Training unrolls use the scan solver, which is.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# planes resident per program: th, tw, freq, hty, 3 state scratch, 2 temps,
+# ~3 live VPU temporaries
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+# --- bf16x3 ("HIGH"-precision) matmuls -------------------------------------
+# Mosaic supports only DEFAULT (single-pass bf16 — too lossy: the DFT
+# roundoff amplifies through the shrinkage nonlinearity) and HIGHEST
+# (6-pass — measured ~97% MXU-bound, all of it precision passes). The sweet
+# spot is the 3-pass bf16x3 split XLA uses for Precision.HIGH (and that
+# ops/mxu_fft._mm relies on): a = hi(a) + lo(a) in bf16, keep the three
+# dominant cross products, accumulate in f32 on the MXU.
+
+
+def _split(v):
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _mm3(a_hi, a_lo, b_hi, b_lo):
+    return _dot(a_hi, b_hi) + _dot(a_hi, b_lo) + _dot(a_lo, b_hi)
+
+
+def _make_kernel(maxit: int, iso_mode):
+    """iso_mode: None (anisotropic soft shrinkage) or 'joint' (corrected
+    isotropic TV — pointwise (zx, zy) block norm). Both are per-plane."""
+
+    def kernel(
+        rho_ref,
+        tau_ref,
+        hty_ref,
+        freq_ref,
+        th_hi_ref,
+        th_lo_ref,
+        tw_hi_ref,
+        tw_lo_ref,
+        x_ref,
+        s_scr,
+        ux_scr,
+        uy_scr,
+        y_scr,
+        t_scr,
+    ):
+        rho = rho_ref[0, 0]
+        tau = tau_ref[0, 0]
+        h = hty_ref.shape[-2]
+        w = hty_ref.shape[-1]
+        inv_hw = 1.0 / (h * w)
+        hty = hty_ref[0]
+
+        # x, z, u start at zero => first RHS is exactly hty (deconv.py:61-67)
+        s_scr[...] = hty
+        ux_scr[...] = jnp.zeros_like(hty)
+        uy_scr[...] = jnp.zeros_like(hty)
+
+        th_hi, th_lo = th_hi_ref[...], th_lo_ref[...]
+        tw_hi, tw_lo = tw_hi_ref[...], tw_lo_ref[...]
+
+        def lstage(v):  # T_h @ v
+            v_hi, v_lo = _split(v)
+            return _mm3(th_hi, th_lo, v_hi, v_lo)
+
+        def rstage(v):  # v @ T_w
+            v_hi, v_lo = _split(v)
+            return _mm3(v_hi, v_lo, tw_hi, tw_lo)
+
+        def body(_, carry):
+            # ---- x-update: separable Hartley diagonal solve (MXU) ----
+            y_scr[...] = lstage(s_scr[...])
+            y_scr[...] = rstage(y_scr[...]) * freq_ref[...]
+            t_scr[...] = lstage(y_scr[...])
+            x = rstage(t_scr[...]) * inv_hw
+
+            # ---- fused elementwise chain (VPU, all in VMEM) ----
+            dx = x - pltpu.roll(x, 1, axis=1)
+            dyv = x - pltpu.roll(x, 1, axis=0)
+            ax = dx + ux_scr[...]
+            ay = dyv + uy_scr[...]
+            if iso_mode is None:
+                zx = jnp.sign(ax) * jnp.maximum(jnp.abs(ax) - tau, 0.0)
+                zy = jnp.sign(ay) * jnp.maximum(jnp.abs(ay) - tau, 0.0)
+            else:  # 'joint'
+                mag = jnp.sqrt(ax * ax + ay * ay + 1e-15)
+                scale = jnp.maximum(1.0 - tau / mag, 0.0)
+                zx = scale * ax
+                zy = scale * ay
+            uxn = ax - zx
+            uyn = ay - zy
+            tx = zx - uxn
+            ty = zy - uyn
+            s_scr[...] = hty + rho * (
+                tx
+                - pltpu.roll(tx, w - 1, axis=1)
+                + ty
+                - pltpu.roll(ty, h - 1, axis=0)
+            )
+            ux_scr[...] = uxn
+            uy_scr[...] = uyn
+            t_scr[...] = x  # keep latest primal for the final store
+            return carry
+
+        jax.lax.fori_loop(0, maxit, body, 0)
+        x_ref[0] = t_scr[...]
+
+    return kernel
+
+
+def _plane_ok(h: int, w: int) -> bool:
+    if h % 8 != 0 or w % 128 != 0:
+        return False
+    plane = h * w * 4
+    mats = (h * h + w * w) * 4
+    return mats + 9 * plane <= _VMEM_BUDGET_BYTES
+
+
+def vmem_solve_available(shape, dtype, kern, iso: bool, iso_mode: str) -> bool:
+    """True when the whole-solve VMEM kernel supports this configuration:
+    f32 NCHW, tile-aligned plane that fits the VMEM budget, per-plane
+    shrinkage (aniso, or corrected 'joint' iso), and a per-axis-even
+    x-update spectrum (no/symmetric PSF — the Hartley validity condition)."""
+    if dtype != jnp.float32 or len(shape) != 4:
+        return False
+    if iso and iso_mode != "joint":
+        return False
+    from torch_admm_deconv_tpu.ops.mxu_fft import psf_is_axis_symmetric
+
+    concrete = kern is None or hasattr(kern, "__array__")
+    try:
+        if not (concrete and psf_is_axis_symmetric(kern)):
+            return False
+    except Exception:  # traced (learnable) kernel: symmetry unknown
+        return False
+    return _plane_ok(shape[-2], shape[-1])
+
+
+@partial(jax.jit, static_argnames=("iso", "maxit", "iso_mode"))
+def admm_tv_vmem(
+    xin: jnp.ndarray,
+    lmbd,
+    rho,
+    kern=None,
+    iso: bool = False,
+    maxit: int = 100,
+    *,
+    iso_mode: str = "joint",
+) -> jnp.ndarray:
+    """Whole-solve-in-VMEM TV-ADMM. Same contract as ops.solver.admm_tv for
+    the configurations :func:`vmem_solve_available` accepts; callers are
+    expected to gate on it (admm_tv does this automatically when
+    ``use_pallas=True``)."""
+    from torch_admm_deconv_tpu.ops import fdops
+    from torch_admm_deconv_tpu.ops.mxu_fft import cas_mats, mirror_freq_full
+    from torch_admm_deconv_tpu.ops.solver import _htran
+
+    b, c, h, w = xin.shape
+    dtype = xin.dtype
+    lmbd = jnp.asarray(lmbd, dtype).reshape(())
+    rho = jnp.asarray(rho, dtype).reshape(())
+    tau = lmbd / rho
+
+    freq_c = fdops.freq_denominator((h, w), rho, kern, dtype)
+    freq_full = mirror_freq_full(jnp.broadcast_to(freq_c, (h, w // 2 + 1)), w)
+    th, tw = cas_mats(h, w)
+    th_hi, th_lo = _split(th)
+    tw_hi, tw_lo = _split(tw)
+    hty = _htran(xin, kern, (h, w), dtype).reshape(b * c, h, w)
+
+    plane = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    full2d = lambda rows, cols: pl.BlockSpec(  # noqa: E731
+        (rows, cols), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    mode = iso_mode if iso else None
+    out = pl.pallas_call(
+        _make_kernel(maxit, mode),
+        grid=(b * c,),
+        in_specs=[
+            sspec,
+            sspec,
+            plane,
+            full2d(h, w),
+            full2d(h, h),
+            full2d(h, h),
+            full2d(w, w),
+            full2d(w, w),
+        ],
+        out_specs=plane,
+        out_shape=jax.ShapeDtypeStruct((b * c, h, w), dtype),
+        scratch_shapes=[pltpu.VMEM((h, w), jnp.float32)] * 5,
+        interpret=jax.default_backend() != "tpu",
+    )(
+        rho.reshape(1, 1),
+        tau.reshape(1, 1),
+        hty,
+        freq_full,
+        th_hi,
+        th_lo,
+        tw_hi,
+        tw_lo,
+    )
+    return out.reshape(b, c, h, w)

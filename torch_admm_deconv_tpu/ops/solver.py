@@ -189,6 +189,21 @@ def admm_tv(
     im_shape = xin.shape[-2:]
     dtype = xin.dtype
 
+    if use_pallas and not remat:
+        # Whole-solve-in-VMEM fast path: all maxit iterations on-chip, HBM
+        # traffic = read(hty) + write(x). Not differentiable — remat=True
+        # signals a training unroll, which stays on the scan path below.
+        from torch_admm_deconv_tpu.kernels.vmem_solver import (
+            admm_tv_vmem,
+            vmem_solve_available,
+        )
+
+        if vmem_solve_available(xin.shape, dtype, kern, iso, iso_mode):
+            out = admm_tv_vmem(xin, lmbd, rho, kern, iso, maxit, iso_mode=iso_mode)
+            for _ in range(squeeze):
+                out = out[0]
+            return out
+
     lmbd = jnp.asarray(lmbd, dtype).reshape(())
     rho = jnp.asarray(rho, dtype).reshape(())
     tau = lmbd / rho
