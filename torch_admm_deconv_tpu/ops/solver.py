@@ -149,10 +149,6 @@ def _make_step(x_update, hty, rho, tau, iso, iso_mode, elementwise):
     return step
 
 
-@partial(
-    jax.jit,
-    static_argnames=("iso", "maxit", "iso_mode", "remat", "use_pallas", "fft_impl"),
-)
 def admm_tv(
     xin: jnp.ndarray,
     lmbd,
@@ -183,26 +179,62 @@ def admm_tv(
 
     Returns the restored batch, same shape as ``xin``.
     """
-    squeeze = 4 - xin.ndim
-    for _ in range(squeeze):
-        xin = xin[None]
-    im_shape = xin.shape[-2:]
-    dtype = xin.dtype
-
+    xin = jnp.asarray(xin)
     if use_pallas and not remat:
         # Whole-solve-in-VMEM fast path: all maxit iterations on-chip, HBM
         # traffic = read(hty) + write(x). Not differentiable — remat=True
-        # signals a training unroll, which stays on the scan path below.
+        # signals a training unroll, which stays on the scan path. The
+        # eligibility check needs a CONCRETE kernel (PSF symmetry), so this
+        # dispatch happens eagerly, outside the jitted implementations;
+        # under an outer jit trace it fails safe to the scan path.
         from torch_admm_deconv_tpu.kernels.vmem_solver import (
             admm_tv_vmem,
             vmem_solve_available,
         )
 
-        if vmem_solve_available(xin.shape, dtype, kern, iso, iso_mode):
-            out = admm_tv_vmem(xin, lmbd, rho, kern, iso, maxit, iso_mode=iso_mode)
-            for _ in range(squeeze):
-                out = out[0]
-            return out
+        squeeze = 4 - xin.ndim
+        shape = (1,) * squeeze + xin.shape
+        if vmem_solve_available(shape, xin.dtype, kern, iso, iso_mode):
+            xb = xin.reshape(shape)
+            out = admm_tv_vmem(xb, lmbd, rho, kern, iso, maxit, iso_mode=iso_mode)
+            return out.reshape(xin.shape)
+    return _admm_tv_scan(
+        xin,
+        lmbd,
+        rho,
+        kern,
+        iso=iso,
+        maxit=maxit,
+        iso_mode=iso_mode,
+        remat=remat,
+        use_pallas=use_pallas,
+        fft_impl=fft_impl,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("iso", "maxit", "iso_mode", "remat", "use_pallas", "fft_impl"),
+)
+def _admm_tv_scan(
+    xin: jnp.ndarray,
+    lmbd,
+    rho,
+    kern: Optional[jnp.ndarray] = None,
+    iso: bool = False,
+    maxit: int = 100,
+    *,
+    iso_mode: str = "compat",
+    remat: bool = False,
+    use_pallas: bool = False,
+    fft_impl: str = "auto",
+) -> jnp.ndarray:
+    """The lax.scan implementation of :func:`admm_tv` (differentiable)."""
+    squeeze = 4 - xin.ndim
+    for _ in range(squeeze):
+        xin = xin[None]
+    im_shape = xin.shape[-2:]
+    dtype = xin.dtype
 
     lmbd = jnp.asarray(lmbd, dtype).reshape(())
     rho = jnp.asarray(rho, dtype).reshape(())
