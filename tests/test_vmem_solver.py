@@ -39,6 +39,16 @@ def test_joint_iso_matches_scan_solver(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
 
 
+def test_sample_iso_matches_scan_solver(rng):
+    """Channel-coupled per-sample isotropic mode ((1,C,H,W) blocks)."""
+    x = _noisy(rng)
+    want = admm_tv(
+        x, 0.05, 0.8, None, iso=True, maxit=15, iso_mode="sample", fft_impl="xla"
+    )
+    got = admm_tv_vmem(x, 0.05, 0.8, None, iso=True, maxit=15, iso_mode="sample")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+
+
 def test_symmetric_psf_matches_scan_solver(rng):
     psf = jnp.asarray(oracle.gaussian_psf(5, 1.0), jnp.float32)
     x = _noisy(rng, b=1, c=1)
@@ -60,9 +70,10 @@ def test_admm_tv_use_pallas_routes_to_vmem(rng):
     [
         ((2, 3, 16, 128), None, False, "compat", True),
         ((2, 3, 16, 128), None, True, "joint", True),
+        ((2, 3, 16, 128), None, True, "sample", True),  # channel-coupled
         ((2, 3, 16, 128), None, True, "compat", False),  # batch-coupled
         ((2, 3, 16, 100), None, False, "compat", False),  # lane misaligned
-        ((2, 3, 2048, 2048), None, False, "compat", False),  # VMEM budget
+        ((2, 3, 4096, 4096), None, False, "compat", False),  # VMEM budget
     ],
 )
 def test_availability_gate(shape, kern, iso, iso_mode, ok):
