@@ -90,8 +90,9 @@ def main():
 
         if args.model_cfg:
             cfg = json.load(open(args.model_cfg))
+            # inference: no remat, VMEM fast path for the empty-kernel solves
             admm = {"kern_size": (), "max_iters": cfg.get("admm_iters", 100), "iso": True,
-                    "remat": True}
+                    "remat": False, "use_pallas": True}
             model = DivergentRestorer(
                 level_branches=cfg.get("level_branches", [2, 8, 32]),
                 in_channels=3, final_channels=3,
@@ -102,7 +103,7 @@ def main():
                 admms=[dict(admm), dict(admm)],
             )
         else:
-            model = flagship_divergent_restorer()
+            model = flagship_divergent_restorer(remat=False, use_pallas=True)
         params = jax.tree_util.tree_map(
             jnp.asarray, load_checkpoint(args.ckpt)["model_state_dict"]
         )

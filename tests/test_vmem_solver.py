@@ -57,12 +57,43 @@ def test_symmetric_psf_matches_scan_solver(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
 
 
+def test_compat_batch1_equals_sample_routing(rng):
+    """iso compat with B=1 must route to the sample kernel and agree with
+    the scan path's compat semantics (they coincide at batch 1)."""
+    x = _noisy(rng, b=1)
+    want = admm_tv(
+        x, 0.05, 0.8, None, iso=True, maxit=15, iso_mode="compat", fft_impl="xla"
+    )
+    got = admm_tv(
+        x, 0.05, 0.8, None, iso=True, maxit=15, iso_mode="compat", use_pallas=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+
+
 def test_admm_tv_use_pallas_routes_to_vmem(rng):
     """use_pallas=True on an eligible config must agree with the XLA path."""
     x = _noisy(rng, b=1, c=2)
     want = admm_tv(x, 0.05, 0.8, None, iso=False, maxit=10, fft_impl="xla")
     got = admm_tv(x, 0.05, 0.8, None, iso=False, maxit=10, use_pallas=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_admm_deconv_layer_use_pallas_under_jit(rng):
+    """ADMMDeconv(use_pallas=True) with an empty kernel must reach the VMEM
+    kernel even inside an outer jit trace (kern=None is statically
+    eligible) and agree with the default layer."""
+    import jax
+
+    from torch_admm_deconv_tpu.models.admm_deconv import ADMMDeconv
+
+    x = _noisy(rng, b=1)
+    kw = dict(kern_size=(), max_iters=10, lmbda=0.05, rho=0.8, iso=True)
+    ref_layer = ADMMDeconv(**kw)
+    fast_layer = ADMMDeconv(**kw, use_pallas=True)
+    params = ref_layer.init(jax.random.PRNGKey(0), x)
+    want = ref_layer.apply(params, x)
+    got = jax.jit(lambda v: fast_layer.apply(params, v))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
 
 
 @pytest.mark.parametrize(

@@ -104,9 +104,21 @@ def flagship_divergent_restorer(
     output_activation: Callable = nn.sigmoid,
     max_iters: int = 100,
     remat: bool = True,
+    use_pallas: bool = False,
 ) -> DivergentRestorer:
-    """The exact training configuration of scripts/train.py:70-73."""
-    admm = {"kern_size": (), "max_iters": max_iters, "iso": True, "remat": remat}
+    """The exact training configuration of scripts/train.py:70-73.
+
+    ``use_pallas=True`` routes the (empty-kernel) ADMM layers through the
+    whole-solve-in-VMEM Pallas kernel — inference only (not differentiable);
+    pair it with ``remat=False``.
+    """
+    admm = {
+        "kern_size": (),
+        "max_iters": max_iters,
+        "iso": True,
+        "remat": remat,
+        "use_pallas": use_pallas,
+    }
     return DivergentRestorer(
         level_branches=[2, 8, 32],
         in_channels=3,
