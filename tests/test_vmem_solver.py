@@ -111,6 +111,36 @@ def test_availability_gate(shape, kern, iso, iso_mode, ok):
     assert vmem_solve_available(shape, jnp.float32, kern, iso, iso_mode) == ok
 
 
+def test_adaptive_vmem_converges_and_stops_early(rng):
+    """Per-block residual stopping: converges below tol in < maxit iters and
+    the solution matches the global-stopping XLA adaptive path reasonably."""
+    from torch_admm_deconv_tpu.kernels.vmem_solver import admm_tv_adaptive_vmem
+    from torch_admm_deconv_tpu.ops.solver import admm_tv_adaptive
+
+    x = _noisy(rng, b=1, c=2)
+    res = admm_tv_adaptive_vmem(x, 0.05, 0.8, None, iso=False, maxit=200, tol=1e-3)
+    assert res.x.shape == x.shape
+    iters = np.asarray(res.iters)
+    assert (iters < 200).all() and (iters > 1).all()
+    assert (np.asarray(res.r_norm) <= 1e-3).all()
+    assert (np.asarray(res.s_norm) <= 1e-3).all()
+    # same fixed point as the XLA adaptive solver (tolerances are loose:
+    # stopping scopes differ — per-block vs global)
+    ref = admm_tv_adaptive(x, 0.05, 0.8, None, iso=False, maxit=200, tol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=5e-3)
+
+
+def test_adaptive_vmem_sample_iso(rng):
+    from torch_admm_deconv_tpu.kernels.vmem_solver import admm_tv_adaptive_vmem
+
+    x = _noisy(rng)
+    res = admm_tv_adaptive_vmem(
+        x, 0.05, 0.8, None, iso=True, maxit=150, tol=1e-3, iso_mode="sample"
+    )
+    assert res.iters.shape == (2,)  # one stopping decision per sample
+    assert (np.asarray(res.r_norm) <= 1e-3).all()
+
+
 def test_asymmetric_psf_not_available(rng):
     k = jnp.asarray(rng.random((1, 1, 3, 3)), jnp.float32)
     assert not vmem_solve_available((1, 1, 16, 128), jnp.float32, k, False, "compat")

@@ -200,6 +200,272 @@ def vmem_solve_available(shape, dtype, kern, iso: bool, iso_mode: str) -> bool:
     return _block_ok(shape[-2], shape[-1], _block_channels(shape, iso, iso_mode))
 
 
+def _make_adaptive_kernel(
+    maxit: int, iso_mode, g: int, tol: float, rho_mu: float, rho_scale: float
+):
+    """Residual-stopped, adaptive-rho variant. Stopping and rho adaptation
+    are PER BLOCK (per plane, or per sample in 'sample' mode) — each block
+    exits its while_loop as soon as its own scaled primal+dual residuals
+    (Boyd et al. SS3.3-3.4) fall below tol. The spectrum 1/(|H|^2 + rho|D|^2)
+    is rebuilt in-VMEM from the cached |H|^2 / |D|^2 maps whenever rho moves
+    (elementwise, no transforms)."""
+
+    def kernel(
+        lmbd_ref,
+        rho0_ref,
+        hty_ref,
+        habs2_ref,
+        d2_ref,
+        th_hi_ref,
+        th_lo_ref,
+        tw_hi_ref,
+        tw_lo_ref,
+        x_ref,
+        iters_ref,
+        r_ref,
+        sres_ref,
+        rhof_ref,
+        s_scr,
+        ux_scr,
+        uy_scr,
+        zx_scr,
+        zy_scr,
+        y_scr,
+        t_scr,
+    ):
+        lmbd = lmbd_ref[0, 0]
+        rho0 = rho0_ref[0, 0]
+        h = hty_ref.shape[-2]
+        w = hty_ref.shape[-1]
+        inv_hw = 1.0 / (h * w)
+        hty = hty_ref[0]
+
+        s_scr[...] = hty
+        ux_scr[...] = jnp.zeros_like(hty)
+        uy_scr[...] = jnp.zeros_like(hty)
+        zx_scr[...] = jnp.zeros_like(hty)
+        zy_scr[...] = jnp.zeros_like(hty)
+        t_scr[...] = jnp.zeros_like(hty)
+
+        th_hi, th_lo = th_hi_ref[...], th_lo_ref[...]
+        tw_hi, tw_lo = tw_hi_ref[...], tw_lo_ref[...]
+        habs2 = habs2_ref[...]
+        d2 = d2_ref[...]
+        scale = jnp.sqrt(jnp.float32(2 * g * h * w))
+
+        def lstage(v):
+            v_hi, v_lo = _split(v)
+            return _mm3(th_hi, th_lo, v_hi, v_lo)
+
+        def rstage(v):
+            v_hi, v_lo = _split(v)
+            return _mm3(v_hi, v_lo, tw_hi, tw_lo)
+
+        def cond(carry):
+            k, r, sd, rho = carry
+            return jnp.logical_and(k < maxit, jnp.logical_or(r > tol, sd > tol))
+
+        def body(carry):
+            k, _, _, rho = carry
+            freq = 1.0 / (habs2 + rho * d2)
+            tau = lmbd / rho
+            for i in range(g):
+                y_scr[i] = rstage(lstage(s_scr[i])) * freq
+                t_scr[i] = rstage(lstage(y_scr[i])) * inv_hw
+            x = t_scr[...]
+            dx = x - pltpu.roll(x, 1, axis=2)
+            dyv = x - pltpu.roll(x, 1, axis=1)
+            ax = dx + ux_scr[...]
+            ay = dyv + uy_scr[...]
+            if iso_mode is None:
+                zx = jnp.sign(ax) * jnp.maximum(jnp.abs(ax) - tau, 0.0)
+                zy = jnp.sign(ay) * jnp.maximum(jnp.abs(ay) - tau, 0.0)
+            elif iso_mode == "sample":
+                nx = jnp.sqrt(jnp.sum(ax * ax, axis=0, keepdims=True) + _EPS)
+                ny = jnp.sqrt(jnp.sum(ay * ay, axis=0, keepdims=True) + _EPS)
+                zx = jnp.maximum(1.0 - tau / (nx + _EPS), 0.0) * ax
+                zy = jnp.maximum(1.0 - tau / (ny + _EPS), 0.0) * ay
+            else:  # 'joint'
+                mag = jnp.sqrt(ax * ax + ay * ay + _EPS)
+                sc = jnp.maximum(1.0 - tau / mag, 0.0)
+                zx = sc * ax
+                zy = sc * ay
+            uxn = ax - zx
+            uyn = ay - zy
+
+            # scaled residuals (Boyd SS3.3), relative per block
+            rx = dx - zx
+            ry = dyv - zy
+            r = jnp.sqrt(jnp.sum(rx * rx) + jnp.sum(ry * ry)) / scale
+            dzx = zx - zx_scr[...]
+            dzy = zy - zy_scr[...]
+            sdual = rho * (
+                dzx
+                - pltpu.roll(dzx, w - 1, axis=2)
+                + dzy
+                - pltpu.roll(dzy, h - 1, axis=1)
+            )
+            sd = jnp.sqrt(jnp.sum(sdual * sdual)) / scale
+
+            # residual balancing (Boyd SS3.4.1) + inverse dual rescale
+            grow = r > rho_mu * sd
+            shrink = sd > rho_mu * r
+            factor = jnp.where(
+                grow, rho_scale, jnp.where(shrink, 1.0 / rho_scale, 1.0)
+            )
+            rho_new = rho * factor
+            inv_f = 1.0 / factor
+
+            tx = zx - uxn * inv_f
+            ty = zy - uyn * inv_f
+            s_scr[...] = hty + rho_new * (
+                tx
+                - pltpu.roll(tx, w - 1, axis=2)
+                + ty
+                - pltpu.roll(ty, h - 1, axis=1)
+            )
+            ux_scr[...] = uxn * inv_f
+            uy_scr[...] = uyn * inv_f
+            zx_scr[...] = zx
+            zy_scr[...] = zy
+            t_scr[...] = x
+            return (k + 1, r, sd, rho_new)
+
+        one = jnp.float32(1.0)
+        k, r, sd, rho = jax.lax.while_loop(cond, body, (jnp.int32(0), one, one, rho0))
+        x_ref[0] = t_scr[...]
+        pid = pl.program_id(0)
+        iters_ref[pid, 0] = k.astype(jnp.float32)
+        r_ref[pid, 0] = r
+        sres_ref[pid, 0] = sd
+        rhof_ref[pid, 0] = rho
+
+    return kernel
+
+
+def adaptive_vmem_available(shape, dtype, kern, iso: bool, iso_mode: str) -> bool:
+    """Eligibility for :func:`admm_tv_adaptive_vmem` — same gates as the
+    fixed-iteration kernel plus two extra z-history planes in the budget."""
+    if not vmem_solve_available(shape, dtype, kern, iso, iso_mode):
+        return False
+    g = _block_channels(shape, iso, iso_mode)
+    h, w = shape[-2], shape[-1]
+    return (12 * g + 2) * h * w * 4 + 4 * (h * h + w * w) <= _VMEM_BUDGET_BYTES
+
+
+@partial(
+    jax.jit,
+    static_argnames=("iso", "maxit", "iso_mode", "tol", "rho_mu", "rho_scale"),
+)
+def admm_tv_adaptive_vmem(
+    xin: jnp.ndarray,
+    lmbd,
+    rho,
+    kern=None,
+    iso: bool = False,
+    maxit: int = 500,
+    *,
+    tol: float = 1e-4,
+    iso_mode: str = "sample",
+    rho_mu: float = 10.0,
+    rho_scale: float = 2.0,
+):
+    """Whole-solve-in-VMEM classical TV-ADMM with residual stopping and
+    adaptive rho. Unlike :func:`ops.solver.admm_tv_adaptive` (one GLOBAL
+    stopping decision over the whole batch), stopping and rho adaptation are
+    per block — each plane (or sample, in 'sample' mode) exits as soon as
+    its own residuals reach tol, so a batch costs the per-block iteration
+    counts rather than batch-size x the worst one.
+
+    Returns an ``AdaptiveResult`` whose ``iters``/``r_norm``/``s_norm``/
+    ``rho`` are per-block arrays of shape (n_blocks,).
+    """
+    from torch_admm_deconv_tpu.ops import fdops
+    from torch_admm_deconv_tpu.ops.mxu_fft import cas_mats, mirror_freq_full
+    from torch_admm_deconv_tpu.ops.solver import AdaptiveResult, _htran
+
+    b, c, h, w = xin.shape
+    dtype = xin.dtype
+    lmbd = jnp.asarray(lmbd, dtype).reshape(())
+    rho = jnp.asarray(rho, dtype).reshape(())
+
+    d2 = fdops.grad_otf_abs2((h, w), dtype)
+    if kern is None or kern.size == 0:
+        habs2 = jnp.ones((h, w // 2 + 1), dtype)
+    else:
+        otf = fdops.psf_otf(kern.astype(dtype), (h, w))
+        habs2 = (otf.real**2 + otf.imag**2).reshape(h, w // 2 + 1)
+    habs2_full = mirror_freq_full(habs2, w)
+    d2_full = mirror_freq_full(jnp.broadcast_to(d2, (h, w // 2 + 1)), w)
+
+    th, tw = cas_mats(h, w)
+    th_hi, th_lo = _split(th)
+    tw_hi, tw_lo = _split(tw)
+
+    g = _block_channels(xin.shape, iso, iso_mode)
+    n_blocks = (b * c) // g
+    hty = _htran(xin, kern, (h, w), dtype).reshape(n_blocks, g, h, w)
+
+    block = pl.BlockSpec((1, g, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    full2d = lambda rows, cols: pl.BlockSpec(  # noqa: E731
+        (rows, cols), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    # full-array SMEM blocks (TPU lowering rejects (1,1) sub-blocks of a
+    # (n_blocks, 1) array); each program writes its own row by program_id.
+    sout = pl.BlockSpec((n_blocks, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    mode = iso_mode if iso else None
+    vmem_limit = min(
+        128 * 1024 * 1024,
+        int(((12 * g + 2) * h * w * 4 + 4 * (h * h + w * w)) * 1.25) + 16 * 1024 * 1024,
+    )
+    scalar_out = jax.ShapeDtypeStruct((n_blocks, 1), jnp.float32)
+    x, iters, r, sd, rho_f = pl.pallas_call(
+        _make_adaptive_kernel(maxit, mode, g, float(tol), float(rho_mu), float(rho_scale)),
+        grid=(n_blocks,),
+        in_specs=[
+            sspec,
+            sspec,
+            block,
+            full2d(h, w),
+            full2d(h, w),
+            full2d(h, h),
+            full2d(h, h),
+            full2d(w, w),
+            full2d(w, w),
+        ],
+        out_specs=[block, sout, sout, sout, sout],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, g, h, w), dtype),
+            scalar_out,
+            scalar_out,
+            scalar_out,
+            scalar_out,
+        ],
+        scratch_shapes=[pltpu.VMEM((g, h, w), jnp.float32)] * 7,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        lmbd.reshape(1, 1),
+        rho.reshape(1, 1),
+        hty,
+        habs2_full,
+        d2_full,
+        th_hi,
+        th_lo,
+        tw_hi,
+        tw_lo,
+    )
+    return AdaptiveResult(
+        x=x.reshape(b, c, h, w),
+        iters=iters.reshape(n_blocks).astype(jnp.int32),
+        r_norm=r.reshape(n_blocks),
+        s_norm=sd.reshape(n_blocks),
+        rho=rho_f.reshape(n_blocks),
+    )
+
+
 @partial(jax.jit, static_argnames=("iso", "maxit", "iso_mode"))
 def admm_tv_vmem(
     xin: jnp.ndarray,
