@@ -23,6 +23,7 @@ Layout:
 
 __version__ = "0.1.0"
 
+from torch_admm_deconv_tpu.ops.implicit import admm_tv_implicit  # noqa: F401
 from torch_admm_deconv_tpu.ops.solver import (  # noqa: F401
     ADMMState,
     admm_tv,

@@ -22,6 +22,7 @@ from torch_admm_deconv_tpu.ops.mxu_fft import (  # noqa: F401
     irfft2_mxu,
     rfft2_mxu,
 )
+from torch_admm_deconv_tpu.ops.implicit import admm_tv_implicit  # noqa: F401
 from torch_admm_deconv_tpu.ops.solver import (  # noqa: F401
     AdaptiveResult,
     ADMMState,
