@@ -123,3 +123,27 @@ def test_implicit_accepts_chw_and_none_kernel():
     out = admm_tv_implicit(x, 0.05, 1.0, maxit=50, tol=1e-6)
     assert out.shape == x.shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_admm_deconv_layer_implicit_mode_trains():
+    """ADMMDeconv(gradient_mode='implicit') forwards and yields finite,
+    nonzero gradients for its learnable lambda/rho through the fixed point."""
+    from torch_admm_deconv_tpu.models.admm_deconv import ADMMDeconv
+
+    layer = ADMMDeconv(
+        kern_size=(), max_iters=200, iso=True, iso_mode="sample",
+        gradient_mode="implicit", implicit_tol=1e-8, implicit_backward_iters=60,
+    )
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((1, 3, 16, 16), dtype=np.float32))
+    target = jnp.clip(x + 0.02, 0.0, 1.0)
+    params = layer.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.mean((layer.apply(p, x) - target) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert np.isfinite(float(val))
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in leaves)

@@ -15,7 +15,11 @@ Capability parity with the reference ``ADMMDeconv``
 
 Training unrolls all ``max_iters`` iterations through the ``lax.scan``
 autodiff; set ``remat=True`` to rematerialize iterations (memory vs FLOPs
-for the reference's 100-iteration configs).
+for the reference's 100-iteration configs). Alternatively set
+``gradient_mode="implicit"`` to train through the converged fixed point
+(``ops/implicit.py``): the forward solve is residual-stopped and the VJP is
+the implicit-function-theorem adjoint — O(1) memory in iteration count,
+``max_iters`` becomes a cap rather than an exact unroll length.
 """
 
 from __future__ import annotations
@@ -46,6 +50,9 @@ class ADMMDeconv(nn.Module):
     iso_mode: str = "compat"
     remat: bool = False
     use_pallas: bool = False
+    gradient_mode: str = "unroll"  # "unroll" (reference parity) | "implicit"
+    implicit_tol: float = 1e-6
+    implicit_backward_iters: int = 50
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -61,17 +68,32 @@ class ADMMDeconv(nn.Module):
             w = self.param("w", xavier_uniform_conv, (1, 1, *self.kern_size))
         else:
             w = None
-        out = admm_tv(
-            x,
-            jnp.reshape(lmbd, ()),
-            jnp.reshape(rho, ()),
-            w,
-            iso=self.iso,
-            maxit=self.max_iters,
-            iso_mode=self.iso_mode,
-            remat=self.remat,
-            use_pallas=self.use_pallas,
-        )
+        if self.gradient_mode == "implicit":
+            from torch_admm_deconv_tpu.ops.implicit import admm_tv_implicit
+
+            out = admm_tv_implicit(
+                x,
+                jnp.reshape(lmbd, ()),
+                jnp.reshape(rho, ()),
+                w,
+                iso=self.iso,
+                maxit=self.max_iters,
+                tol=self.implicit_tol,
+                iso_mode=self.iso_mode,
+                backward_iters=self.implicit_backward_iters,
+            )
+        else:
+            out = admm_tv(
+                x,
+                jnp.reshape(lmbd, ()),
+                jnp.reshape(rho, ()),
+                w,
+                iso=self.iso,
+                maxit=self.max_iters,
+                iso_mode=self.iso_mode,
+                remat=self.remat,
+                use_pallas=self.use_pallas,
+            )
         if self.bias:
             b = self.param("b", _uniform01, (1,))
             out = out + b[0]
