@@ -2,7 +2,11 @@
 
 Config (BASELINE.json configs 1-2 scaled to the single available chip):
 batch 8 RGB 512x512, 9x9 gaussian PSF, anisotropic TV, fixed rho, 200
-iterations, fused-Pallas iteration path, f32 FFTs.
+iterations, whole-solve-in-VMEM Pallas path with the mixed-precision
+(inexact-ADMM) schedule — first 3/4 of the iterations use single-pass bf16
+x-update matmuls, the bf16x3 tail contracts the roundoff (measured max
+deviation vs the all-bf16x3 solve: 3e-4 at this exact config; see
+scripts/bench_mixed_precision.py).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
@@ -40,7 +44,9 @@ def bench_tpu(batch=8, size=512, maxit=200, psf_size=9):
     kern = jnp.asarray(_gaussian_psf(psf_size, 1.5))
 
     def solver_of_maxit(m):
-        return lambda v: admm_tv(v, 0.002, 0.5, kern, iso=False, maxit=m, use_pallas=True)
+        return lambda v: admm_tv(
+            v, 0.002, 0.5, kern, iso=False, maxit=m, use_pallas=True, precision="mixed"
+        )
 
     per_iter = iter_scaling_throughput(solver_of_maxit, x, m_small=maxit, m_big=5 * maxit)
     return 1.0 / per_iter, per_iter * maxit

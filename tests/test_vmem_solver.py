@@ -141,6 +141,34 @@ def test_adaptive_vmem_sample_iso(rng):
     assert (np.asarray(res.r_norm) <= 1e-3).all()
 
 
+def test_mixed_precision_fixed_iter_reaches_same_fixed_point(rng):
+    """Inexact-ADMM schedule: early single-pass-bf16 iterations followed by
+    a bf16x3 tail must land at (essentially) the same fixed point as the
+    all-bf16x3 kernel — the early roundoff is contracted away."""
+    x = _noisy(rng, b=1, c=2)
+    want = admm_tv_vmem(x, 0.05, 0.8, None, iso=False, maxit=60)
+    got = admm_tv_vmem(x, 0.05, 0.8, None, iso=False, maxit=60, precision="mixed")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_adaptive_mixed_precision_honors_tol_contract(rng):
+    """The mixed schedule must still exit with bf16x3-measured residuals
+    below tol and agree with the all-high-precision adaptive solve."""
+    from torch_admm_deconv_tpu.kernels.vmem_solver import admm_tv_adaptive_vmem
+
+    x = _noisy(rng, b=1, c=2)
+    hi = admm_tv_adaptive_vmem(
+        x, 0.05, 0.8, None, iso=False, maxit=300, tol=1e-3, precision="high"
+    )
+    mx = admm_tv_adaptive_vmem(
+        x, 0.05, 0.8, None, iso=False, maxit=300, tol=1e-3, precision="mixed"
+    )
+    assert (np.asarray(mx.r_norm) <= 1e-3).all()
+    assert (np.asarray(mx.s_norm) <= 1e-3).all()
+    assert (np.asarray(mx.iters) < 300).all()
+    np.testing.assert_allclose(np.asarray(mx.x), np.asarray(hi.x), atol=5e-3)
+
+
 def test_asymmetric_psf_not_available(rng):
     k = jnp.asarray(rng.random((1, 1, 3, 3)), jnp.float32)
     assert not vmem_solve_available((1, 1, 16, 128), jnp.float32, k, False, "compat")

@@ -74,10 +74,41 @@ def _mm3(a_hi, a_lo, b_hi, b_lo):
     return _dot(a_hi, b_hi) + _dot(a_hi, b_lo) + _dot(a_lo, b_hi)
 
 
-def _make_kernel(maxit: int, iso_mode, g: int):
+def _make_stages(th_hi, th_lo, tw_hi, tw_lo, fast: bool):
+    """(lstage, rstage) transform pair. ``fast``: single-pass bf16 matmuls
+    (3x fewer MXU passes, ~4e-3 relative roundoff) for the inexact-ADMM
+    early phase; else the bf16x3 split (~1e-5)."""
+    if fast:
+
+        def lstage(v):
+            return _dot(th_hi, v.astype(jnp.bfloat16))
+
+        def rstage(v):
+            return _dot(v.astype(jnp.bfloat16), tw_hi)
+
+    else:
+
+        def lstage(v):
+            v_hi, v_lo = _split(v)
+            return _mm3(th_hi, th_lo, v_hi, v_lo)
+
+        def rstage(v):
+            v_hi, v_lo = _split(v)
+            return _mm3(v_hi, v_lo, tw_hi, tw_lo)
+
+    return lstage, rstage
+
+
+def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0):
     """iso_mode: None (anisotropic soft shrinkage), 'joint' (corrected
     isotropic TV — pointwise (zx, zy) block norm), or 'sample' (channel-
-    coupled isotropic norm — blocks carry all ``g`` channels of a sample)."""
+    coupled isotropic norm — blocks carry all ``g`` channels of a sample).
+
+    ``fast_iters``: run the FIRST ``fast_iters`` iterations with single-pass
+    bf16 x-update matmuls and only the remainder with the bf16x3 split —
+    inexact ADMM: early x-update roundoff is contracted away by the later
+    exact iterations (Eckstein & Bertsekas 1992, summable-error condition
+    holds since the error stops after fast_iters)."""
 
     def kernel(
         rho_ref,
@@ -111,55 +142,54 @@ def _make_kernel(maxit: int, iso_mode, g: int):
         tw_hi, tw_lo = tw_hi_ref[...], tw_lo_ref[...]
         freq = freq_ref[...]
 
-        def lstage(v):  # T_h @ v
-            v_hi, v_lo = _split(v)
-            return _mm3(th_hi, th_lo, v_hi, v_lo)
+        def body_with(lstage, rstage):
+            def body(_, carry):
+                # ---- x-update: separable Hartley diagonal solve (MXU) ----
+                # static unroll over the g channels of the block
+                for i in range(g):
+                    y_scr[i] = rstage(lstage(s_scr[i])) * freq
+                    t_scr[i] = rstage(lstage(y_scr[i])) * inv_hw
+                x = t_scr[...]  # (g, H, W) — the fresh primal
 
-        def rstage(v):  # v @ T_w
-            v_hi, v_lo = _split(v)
-            return _mm3(v_hi, v_lo, tw_hi, tw_lo)
+                # ---- fused elementwise chain (VPU, all in VMEM) ----
+                dx = x - pltpu.roll(x, 1, axis=2)
+                dyv = x - pltpu.roll(x, 1, axis=1)
+                ax = dx + ux_scr[...]
+                ay = dyv + uy_scr[...]
+                if iso_mode is None:
+                    zx = jnp.sign(ax) * jnp.maximum(jnp.abs(ax) - tau, 0.0)
+                    zy = jnp.sign(ay) * jnp.maximum(jnp.abs(ay) - tau, 0.0)
+                elif iso_mode == "sample":
+                    nx = jnp.sqrt(jnp.sum(ax * ax, axis=0, keepdims=True) + _EPS)
+                    ny = jnp.sqrt(jnp.sum(ay * ay, axis=0, keepdims=True) + _EPS)
+                    zx = jnp.maximum(1.0 - tau / (nx + _EPS), 0.0) * ax
+                    zy = jnp.maximum(1.0 - tau / (ny + _EPS), 0.0) * ay
+                else:  # 'joint'
+                    mag = jnp.sqrt(ax * ax + ay * ay + _EPS)
+                    scale = jnp.maximum(1.0 - tau / mag, 0.0)
+                    zx = scale * ax
+                    zy = scale * ay
+                uxn = ax - zx
+                uyn = ay - zy
+                tx = zx - uxn
+                ty = zy - uyn
+                s_scr[...] = hty + rho * (
+                    tx
+                    - pltpu.roll(tx, w - 1, axis=2)
+                    + ty
+                    - pltpu.roll(ty, h - 1, axis=1)
+                )
+                ux_scr[...] = uxn
+                uy_scr[...] = uyn
+                return carry
 
-        def body(_, carry):
-            # ---- x-update: separable Hartley diagonal solve (MXU) ----
-            # static unroll over the g channels of the block
-            for i in range(g):
-                y_scr[i] = rstage(lstage(s_scr[i])) * freq
-                t_scr[i] = rstage(lstage(y_scr[i])) * inv_hw
-            x = t_scr[...]  # (g, H, W) — the fresh primal
+            return body
 
-            # ---- fused elementwise chain (VPU, all in VMEM) ----
-            dx = x - pltpu.roll(x, 1, axis=2)
-            dyv = x - pltpu.roll(x, 1, axis=1)
-            ax = dx + ux_scr[...]
-            ay = dyv + uy_scr[...]
-            if iso_mode is None:
-                zx = jnp.sign(ax) * jnp.maximum(jnp.abs(ax) - tau, 0.0)
-                zy = jnp.sign(ay) * jnp.maximum(jnp.abs(ay) - tau, 0.0)
-            elif iso_mode == "sample":
-                nx = jnp.sqrt(jnp.sum(ax * ax, axis=0, keepdims=True) + _EPS)
-                ny = jnp.sqrt(jnp.sum(ay * ay, axis=0, keepdims=True) + _EPS)
-                zx = jnp.maximum(1.0 - tau / (nx + _EPS), 0.0) * ax
-                zy = jnp.maximum(1.0 - tau / (ny + _EPS), 0.0) * ay
-            else:  # 'joint'
-                mag = jnp.sqrt(ax * ax + ay * ay + _EPS)
-                scale = jnp.maximum(1.0 - tau / mag, 0.0)
-                zx = scale * ax
-                zy = scale * ay
-            uxn = ax - zx
-            uyn = ay - zy
-            tx = zx - uxn
-            ty = zy - uyn
-            s_scr[...] = hty + rho * (
-                tx
-                - pltpu.roll(tx, w - 1, axis=2)
-                + ty
-                - pltpu.roll(ty, h - 1, axis=1)
-            )
-            ux_scr[...] = uxn
-            uy_scr[...] = uyn
-            return carry
-
-        jax.lax.fori_loop(0, maxit, body, 0)
+        if fast_iters > 0:
+            lf, rf = _make_stages(th_hi, th_lo, tw_hi, tw_lo, fast=True)
+            jax.lax.fori_loop(0, fast_iters, body_with(lf, rf), 0)
+        lp, rp = _make_stages(th_hi, th_lo, tw_hi, tw_lo, fast=False)
+        jax.lax.fori_loop(0, maxit - fast_iters, body_with(lp, rp), 0)
         x_ref[0] = t_scr[...]
 
     return kernel
@@ -201,14 +231,29 @@ def vmem_solve_available(shape, dtype, kern, iso: bool, iso_mode: str) -> bool:
 
 
 def _make_adaptive_kernel(
-    maxit: int, iso_mode, g: int, tol: float, rho_mu: float, rho_scale: float
+    maxit: int,
+    iso_mode,
+    g: int,
+    tol: float,
+    rho_mu: float,
+    rho_scale: float,
+    fast_switch: float = 0.0,
+    fast_cap: int = 0,
 ):
     """Residual-stopped, adaptive-rho variant. Stopping and rho adaptation
     are PER BLOCK (per plane, or per sample in 'sample' mode) — each block
     exits its while_loop as soon as its own scaled primal+dual residuals
     (Boyd et al. SS3.3-3.4) fall below tol. The spectrum 1/(|H|^2 + rho|D|^2)
     is rebuilt in-VMEM from the cached |H|^2 / |D|^2 maps whenever rho moves
-    (elementwise, no transforms)."""
+    (elementwise, no transforms).
+
+    Mixed-precision schedule (inexact ADMM): while both residuals sit above
+    ``fast_switch`` (and fewer than ``fast_cap`` iterations have run), the
+    x-update matmuls are single-pass bf16 — 3x fewer MXU passes; the final
+    approach to ``tol`` always runs the bf16x3 split, and the exit residuals
+    are measured from bf16x3 iterates, so the tol contract is unchanged.
+    ``fast_cap`` bounds the fast phase in case a block's bf16 noise floor
+    sits above ``fast_switch``."""
 
     def kernel(
         lmbd_ref,
@@ -253,86 +298,99 @@ def _make_adaptive_kernel(
         d2 = d2_ref[...]
         scale = jnp.sqrt(jnp.float32(2 * g * h * w))
 
-        def lstage(v):
-            v_hi, v_lo = _split(v)
-            return _mm3(th_hi, th_lo, v_hi, v_lo)
+        def body_with(lstage, rstage):
+            def body(carry):
+                k, _, _, rho = carry
+                freq = 1.0 / (habs2 + rho * d2)
+                tau = lmbd / rho
+                for i in range(g):
+                    y_scr[i] = rstage(lstage(s_scr[i])) * freq
+                    t_scr[i] = rstage(lstage(y_scr[i])) * inv_hw
+                x = t_scr[...]
+                dx = x - pltpu.roll(x, 1, axis=2)
+                dyv = x - pltpu.roll(x, 1, axis=1)
+                ax = dx + ux_scr[...]
+                ay = dyv + uy_scr[...]
+                if iso_mode is None:
+                    zx = jnp.sign(ax) * jnp.maximum(jnp.abs(ax) - tau, 0.0)
+                    zy = jnp.sign(ay) * jnp.maximum(jnp.abs(ay) - tau, 0.0)
+                elif iso_mode == "sample":
+                    nx = jnp.sqrt(jnp.sum(ax * ax, axis=0, keepdims=True) + _EPS)
+                    ny = jnp.sqrt(jnp.sum(ay * ay, axis=0, keepdims=True) + _EPS)
+                    zx = jnp.maximum(1.0 - tau / (nx + _EPS), 0.0) * ax
+                    zy = jnp.maximum(1.0 - tau / (ny + _EPS), 0.0) * ay
+                else:  # 'joint'
+                    mag = jnp.sqrt(ax * ax + ay * ay + _EPS)
+                    sc = jnp.maximum(1.0 - tau / mag, 0.0)
+                    zx = sc * ax
+                    zy = sc * ay
+                uxn = ax - zx
+                uyn = ay - zy
 
-        def rstage(v):
-            v_hi, v_lo = _split(v)
-            return _mm3(v_hi, v_lo, tw_hi, tw_lo)
+                # scaled residuals (Boyd SS3.3), relative per block
+                rx = dx - zx
+                ry = dyv - zy
+                r = jnp.sqrt(jnp.sum(rx * rx) + jnp.sum(ry * ry)) / scale
+                dzx = zx - zx_scr[...]
+                dzy = zy - zy_scr[...]
+                sdual = rho * (
+                    dzx
+                    - pltpu.roll(dzx, w - 1, axis=2)
+                    + dzy
+                    - pltpu.roll(dzy, h - 1, axis=1)
+                )
+                sd = jnp.sqrt(jnp.sum(sdual * sdual)) / scale
 
-        def cond(carry):
-            k, r, sd, rho = carry
-            return jnp.logical_and(k < maxit, jnp.logical_or(r > tol, sd > tol))
+                # residual balancing (Boyd SS3.4.1) + inverse dual rescale
+                grow = r > rho_mu * sd
+                shrink = sd > rho_mu * r
+                factor = jnp.where(
+                    grow, rho_scale, jnp.where(shrink, 1.0 / rho_scale, 1.0)
+                )
+                rho_new = rho * factor
+                inv_f = 1.0 / factor
 
-        def body(carry):
-            k, _, _, rho = carry
-            freq = 1.0 / (habs2 + rho * d2)
-            tau = lmbd / rho
-            for i in range(g):
-                y_scr[i] = rstage(lstage(s_scr[i])) * freq
-                t_scr[i] = rstage(lstage(y_scr[i])) * inv_hw
-            x = t_scr[...]
-            dx = x - pltpu.roll(x, 1, axis=2)
-            dyv = x - pltpu.roll(x, 1, axis=1)
-            ax = dx + ux_scr[...]
-            ay = dyv + uy_scr[...]
-            if iso_mode is None:
-                zx = jnp.sign(ax) * jnp.maximum(jnp.abs(ax) - tau, 0.0)
-                zy = jnp.sign(ay) * jnp.maximum(jnp.abs(ay) - tau, 0.0)
-            elif iso_mode == "sample":
-                nx = jnp.sqrt(jnp.sum(ax * ax, axis=0, keepdims=True) + _EPS)
-                ny = jnp.sqrt(jnp.sum(ay * ay, axis=0, keepdims=True) + _EPS)
-                zx = jnp.maximum(1.0 - tau / (nx + _EPS), 0.0) * ax
-                zy = jnp.maximum(1.0 - tau / (ny + _EPS), 0.0) * ay
-            else:  # 'joint'
-                mag = jnp.sqrt(ax * ax + ay * ay + _EPS)
-                sc = jnp.maximum(1.0 - tau / mag, 0.0)
-                zx = sc * ax
-                zy = sc * ay
-            uxn = ax - zx
-            uyn = ay - zy
+                tx = zx - uxn * inv_f
+                ty = zy - uyn * inv_f
+                s_scr[...] = hty + rho_new * (
+                    tx
+                    - pltpu.roll(tx, w - 1, axis=2)
+                    + ty
+                    - pltpu.roll(ty, h - 1, axis=1)
+                )
+                ux_scr[...] = uxn * inv_f
+                uy_scr[...] = uyn * inv_f
+                zx_scr[...] = zx
+                zy_scr[...] = zy
+                t_scr[...] = x
+                return (k + 1, r, sd, rho_new)
 
-            # scaled residuals (Boyd SS3.3), relative per block
-            rx = dx - zx
-            ry = dyv - zy
-            r = jnp.sqrt(jnp.sum(rx * rx) + jnp.sum(ry * ry)) / scale
-            dzx = zx - zx_scr[...]
-            dzy = zy - zy_scr[...]
-            sdual = rho * (
-                dzx
-                - pltpu.roll(dzx, w - 1, axis=2)
-                + dzy
-                - pltpu.roll(dzy, h - 1, axis=1)
-            )
-            sd = jnp.sqrt(jnp.sum(sdual * sdual)) / scale
-
-            # residual balancing (Boyd SS3.4.1) + inverse dual rescale
-            grow = r > rho_mu * sd
-            shrink = sd > rho_mu * r
-            factor = jnp.where(
-                grow, rho_scale, jnp.where(shrink, 1.0 / rho_scale, 1.0)
-            )
-            rho_new = rho * factor
-            inv_f = 1.0 / factor
-
-            tx = zx - uxn * inv_f
-            ty = zy - uyn * inv_f
-            s_scr[...] = hty + rho_new * (
-                tx
-                - pltpu.roll(tx, w - 1, axis=2)
-                + ty
-                - pltpu.roll(ty, h - 1, axis=1)
-            )
-            ux_scr[...] = uxn * inv_f
-            uy_scr[...] = uyn * inv_f
-            zx_scr[...] = zx
-            zy_scr[...] = zy
-            t_scr[...] = x
-            return (k + 1, r, sd, rho_new)
+            return body
 
         one = jnp.float32(1.0)
-        k, r, sd, rho = jax.lax.while_loop(cond, body, (jnp.int32(0), one, one, rho0))
+        carry = (jnp.int32(0), one, one, rho0)
+        if fast_cap > 0 and fast_switch > tol:
+
+            def fast_cond(c):
+                k, r, sd, _ = c
+                return jnp.logical_and(
+                    k < fast_cap,
+                    jnp.logical_or(r > fast_switch, sd > fast_switch),
+                )
+
+            lf, rf = _make_stages(th_hi, th_lo, tw_hi, tw_lo, fast=True)
+            carry = jax.lax.while_loop(fast_cond, body_with(lf, rf), carry)
+            # fast-phase residuals carry bf16 measurement noise — force at
+            # least one bf16x3 iteration so the exit test is trustworthy
+            k0, _, _, rho_c = carry
+            carry = (k0, one, one, rho_c)
+
+        def cond(c):
+            k, r, sd, _ = c
+            return jnp.logical_and(k < maxit, jnp.logical_or(r > tol, sd > tol))
+
+        lp, rp = _make_stages(th_hi, th_lo, tw_hi, tw_lo, fast=False)
+        k, r, sd, rho = jax.lax.while_loop(cond, body_with(lp, rp), carry)
         x_ref[0] = t_scr[...]
         pid = pl.program_id(0)
         iters_ref[pid, 0] = k.astype(jnp.float32)
@@ -355,7 +413,16 @@ def adaptive_vmem_available(shape, dtype, kern, iso: bool, iso_mode: str) -> boo
 
 @partial(
     jax.jit,
-    static_argnames=("iso", "maxit", "iso_mode", "tol", "rho_mu", "rho_scale"),
+    static_argnames=(
+        "iso",
+        "maxit",
+        "iso_mode",
+        "tol",
+        "rho_mu",
+        "rho_scale",
+        "precision",
+        "fast_switch",
+    ),
 )
 def admm_tv_adaptive_vmem(
     xin: jnp.ndarray,
@@ -369,6 +436,8 @@ def admm_tv_adaptive_vmem(
     iso_mode: str = "sample",
     rho_mu: float = 10.0,
     rho_scale: float = 2.0,
+    precision: str = "mixed",
+    fast_switch: float | None = None,
 ):
     """Whole-solve-in-VMEM classical TV-ADMM with residual stopping and
     adaptive rho. Unlike :func:`ops.solver.admm_tv_adaptive` (one GLOBAL
@@ -376,6 +445,13 @@ def admm_tv_adaptive_vmem(
     per block — each plane (or sample, in 'sample' mode) exits as soon as
     its own residuals reach tol, so a batch costs the per-block iteration
     counts rather than batch-size x the worst one.
+
+    ``precision='mixed'`` (default) runs the x-update matmuls single-pass
+    bf16 while both residuals sit above ``fast_switch`` (default
+    ``max(20*tol, 1e-2)``) and bf16x3 for the final approach to ``tol`` —
+    inexact ADMM; the exit residuals are always measured from bf16x3
+    iterates, so the tol contract is unchanged. ``precision='high'`` runs
+    bf16x3 throughout.
 
     Returns an ``AdaptiveResult`` whose ``iters``/``r_norm``/``s_norm``/
     ``rho`` are per-block arrays of shape (n_blocks,).
@@ -420,9 +496,26 @@ def admm_tv_adaptive_vmem(
         128 * 1024 * 1024,
         int(((12 * g + 2) * h * w * 4 + 4 * (h * h + w * w)) * 1.25) + 16 * 1024 * 1024,
     )
+    if precision == "mixed":
+        switch = float(fast_switch) if fast_switch is not None else max(20.0 * tol, 1e-2)
+        fast_cap = maxit - max(8, maxit // 8)
+    elif precision == "high":
+        switch, fast_cap = 0.0, 0
+    else:
+        raise ValueError(f"precision must be 'mixed' or 'high', got {precision!r}")
+
     scalar_out = jax.ShapeDtypeStruct((n_blocks, 1), jnp.float32)
     x, iters, r, sd, rho_f = pl.pallas_call(
-        _make_adaptive_kernel(maxit, mode, g, float(tol), float(rho_mu), float(rho_scale)),
+        _make_adaptive_kernel(
+            maxit,
+            mode,
+            g,
+            float(tol),
+            float(rho_mu),
+            float(rho_scale),
+            fast_switch=switch,
+            fast_cap=fast_cap,
+        ),
         grid=(n_blocks,),
         in_specs=[
             sspec,
@@ -466,7 +559,7 @@ def admm_tv_adaptive_vmem(
     )
 
 
-@partial(jax.jit, static_argnames=("iso", "maxit", "iso_mode"))
+@partial(jax.jit, static_argnames=("iso", "maxit", "iso_mode", "precision"))
 def admm_tv_vmem(
     xin: jnp.ndarray,
     lmbd,
@@ -476,11 +569,18 @@ def admm_tv_vmem(
     maxit: int = 100,
     *,
     iso_mode: str = "joint",
+    precision: str = "high",
 ) -> jnp.ndarray:
     """Whole-solve-in-VMEM TV-ADMM. Same contract as ops.solver.admm_tv for
     the configurations :func:`vmem_solve_available` accepts; callers are
     expected to gate on it (admm_tv does this automatically when
-    ``use_pallas=True``)."""
+    ``use_pallas=True``).
+
+    ``precision='mixed'`` opts in to the inexact-ADMM schedule: the first
+    3/4 of the iterations run single-pass bf16 x-update matmuls, the final
+    quarter the bf16x3 split. The fixed point is unchanged — early roundoff
+    is contracted away by the exact tail — but intermediate iterates differ
+    from the scan path, so it is NOT the default (parity)."""
     from torch_admm_deconv_tpu.ops import fdops
     from torch_admm_deconv_tpu.ops.mxu_fft import cas_mats, mirror_freq_full
     from torch_admm_deconv_tpu.ops.solver import _htran
@@ -512,8 +612,14 @@ def admm_tv_vmem(
         128 * 1024 * 1024,
         int(((10 * g + 1) * h * w * 4 + 4 * (h * h + w * w)) * 1.25) + 16 * 1024 * 1024,
     )
+    if precision == "mixed":
+        fast_iters = (3 * maxit) // 4
+    elif precision == "high":
+        fast_iters = 0
+    else:
+        raise ValueError(f"precision must be 'mixed' or 'high', got {precision!r}")
     out = pl.pallas_call(
-        _make_kernel(maxit, mode, g),
+        _make_kernel(maxit, mode, g, fast_iters=fast_iters),
         grid=(n_blocks,),
         in_specs=[
             sspec,

@@ -161,6 +161,7 @@ def admm_tv(
     remat: bool = False,
     use_pallas: bool = False,
     fft_impl: str = "auto",
+    precision: str = "high",
 ) -> jnp.ndarray:
     """Fixed-iteration TV-ADMM (reference-parity path, differentiable).
 
@@ -176,6 +177,11 @@ def admm_tv(
         100-iteration unrolls).
       use_pallas: route the fused elementwise pass through the Pallas TPU
         kernel (anisotropic / per-sample modes; falls back to XLA otherwise).
+      precision: 'high' (default) | 'mixed'. Only consulted on the VMEM
+        fast path: 'mixed' runs the first 3/4 of the iterations with
+        single-pass bf16 x-update matmuls (inexact ADMM — the exact bf16x3
+        tail contracts the early roundoff; measured 2.0x faster, max
+        deviation ~3e-4 at 200 iters / 512^2). Ignored on the scan path.
 
     Returns the restored batch, same shape as ``xin``.
     """
@@ -202,7 +208,9 @@ def admm_tv(
             eff_mode = "sample"
         if vmem_solve_available(shape, xin.dtype, kern, iso, eff_mode):
             xb = xin.reshape(shape)
-            out = admm_tv_vmem(xb, lmbd, rho, kern, iso, maxit, iso_mode=eff_mode)
+            out = admm_tv_vmem(
+                xb, lmbd, rho, kern, iso, maxit, iso_mode=eff_mode, precision=precision
+            )
             return out.reshape(xin.shape)
     return _admm_tv_scan(
         xin,
