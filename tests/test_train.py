@@ -37,7 +37,7 @@ def test_logger_psnr_from_mean_mse():
     loss = SSIMLoss("cpu")
     logger = MetricsLogger(loss, [PSNRMetric("cpu")])
     # psnr requested => mse auto-registered
-    assert "mse" in logger._step_metrics
+    assert "mse" in logger.tracked
     logger.update_step_metric_val("mse", 0.01)
     logger.update_step_metric_val("mse", 0.04)
     logger.update_step_metric_val("psnr", 20.0)
