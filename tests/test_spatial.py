@@ -101,3 +101,92 @@ def test_spatial_adaptive_converges_jointly(mesh, rng):
     ref = admm_tv_adaptive(x, 0.05, 1.0, None, maxit=300, tol=1e-4)
     assert abs(int(res.iters) - int(ref.iters)) <= 1
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=5e-4)
+
+
+# -- MXU matmul-DFT pencil path (fft_impl='mxu', forced on CPU) -------------
+
+
+def test_mxu_pencil_roundtrip(mesh, rng):
+    from jax.sharding import PartitionSpec as P
+
+    from torch_admm_deconv_tpu.ops.mxu_fft import dft_mats
+    from torch_admm_deconv_tpu.parallel.spatial import (
+        irfft2_sharded_mxu,
+        rfft2_sharded_mxu,
+    )
+
+    x = jnp.asarray(rng.normal(size=(2, 3, 32, 24)), jnp.float32)
+    mats = dft_mats(32, 24)
+
+    def roundtrip(v):
+        yr, yi = rfft2_sharded_mxu(v, "space", 8, 24, mats)
+        return irfft2_sharded_mxu(yr, yi, "space", 8, 32, 24, mats)
+
+    fn = jax.jit(
+        jax.shard_map(
+            roundtrip,
+            mesh=mesh,
+            in_specs=P(None, None, "space", None),
+            out_specs=P(None, None, "space", None),
+        )
+    )
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(x), atol=1e-4)
+
+
+def test_mxu_pencil_matches_rfft2(mesh, rng):
+    from jax.sharding import PartitionSpec as P
+
+    from torch_admm_deconv_tpu.ops.mxu_fft import dft_mats
+    from torch_admm_deconv_tpu.parallel.spatial import rfft2_sharded_mxu
+
+    x = jnp.asarray(rng.normal(size=(1, 1, 16, 16)), jnp.float32)
+    mats = dft_mats(16, 16)
+
+    def fwd(v):
+        return rfft2_sharded_mxu(v, "space", 8, 16, mats)
+
+    fn = jax.jit(
+        jax.shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=P(None, None, "space", None),
+            out_specs=(P(None, None, None, "space"),) * 2,
+        )
+    )
+    yr, yi = fn(x)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    want = np.fft.rfft2(np.asarray(x)[0, 0])
+    wf = 16 // 2 + 1
+    np.testing.assert_allclose(got[0, 0, :, :wf], want, atol=1e-4)
+
+
+@pytest.mark.parametrize("iso", [False, True])
+def test_spatial_mxu_matches_single_device_denoise(mesh, rng, iso):
+    x = jnp.asarray(rng.normal(size=(2, 3, 32, 32)) * 0.1 + 0.5, jnp.float32)
+    single = np.asarray(admm_tv(x, 0.05, 0.8, None, iso=iso, maxit=30))
+    tiled = np.asarray(
+        spatial_admm_tv(x, 0.05, 0.8, None, iso=iso, maxit=30, mesh=mesh,
+                        fft_impl="mxu")
+    )
+    np.testing.assert_allclose(tiled, single, atol=5e-4)
+
+
+def test_spatial_mxu_matches_single_device_deblur(mesh, rng):
+    psf = jnp.asarray(oracle.gaussian_psf(9, 1.5), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 3, 64, 48)) * 0.1 + 0.5, jnp.float32)
+    single = np.asarray(admm_tv(x, 0.01, 1.0, psf, maxit=40))
+    tiled = np.asarray(
+        spatial_admm_tv(x, 0.01, 1.0, psf, maxit=40, mesh=mesh, fft_impl="mxu")
+    )
+    np.testing.assert_allclose(tiled, single, atol=1e-3)
+
+
+def test_spatial_adaptive_mxu_converges(mesh, rng):
+    img = rng.normal(size=(1, 1, 64, 64)) * 0.1 + 0.5
+    x = jnp.asarray(img, jnp.float32)
+    res = spatial_admm_tv_adaptive(x, 0.05, 1.0, None, maxit=300, tol=1e-4,
+                                   mesh=mesh, fft_impl="mxu")
+    ref = spatial_admm_tv_adaptive(x, 0.05, 1.0, None, maxit=300, tol=1e-4,
+                                   mesh=mesh, fft_impl="xla")
+    assert abs(int(res.iters) - int(ref.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=5e-4)

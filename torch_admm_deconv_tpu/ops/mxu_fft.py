@@ -71,20 +71,44 @@ def _mm(a, b):
     )
 
 
+def _hstage(v, mat):
+    """Contract axis -2 against a (h, h) DFT matrix."""
+    return jnp.swapaxes(_mm(jnp.swapaxes(v, -2, -1), mat), -2, -1)
+
+
+# -- 1-D stages (also the building blocks of the pencil-decomposed
+#    distributed FFT in parallel/spatial.py) --------------------------------
+
+
+def rfft_w_stage(x, cw, sw) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., W) real -> (Xr, Xi) each (..., Wf): X = x @ (Cw - i Sw)."""
+    return _mm(x, cw), -_mm(x, sw)
+
+
+def fft_h_stage(xr, xi, ch, sh) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Complex DFT along axis -2 as 4 real matmuls:
+    Y[k] = sum_n e^{-i ang_h[n,k]} X[n]."""
+    return _hstage(xr, ch) + _hstage(xi, sh), _hstage(xi, ch) - _hstage(xr, sh)
+
+
+def ifft_h_stage(yr, yi, ch, sh, h: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse complex DFT along axis -2: Z = F_h^H Y / h (matrices are
+    symmetric in (n, k))."""
+    return (_hstage(yr, ch) - _hstage(yi, sh)) / h, (_hstage(yi, ch) + _hstage(yr, sh)) / h
+
+
+def irfft_w_stage(zr, zi, icw, isw) -> jnp.ndarray:
+    """(..., Wf) complex pair -> (..., W) real; icw/isw carry the
+    hermitian-completion weights and the 1/w scale."""
+    return _mm(zr, icw) - _mm(zi, isw)
+
+
 def rfft2_mxu(x: jnp.ndarray, mats=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(..., H, W) real -> (Yr, Yi) each (..., H, Wf)."""
     h, w = x.shape[-2], x.shape[-1]
     cw, sw, ch, sh, _, _ = mats if mats is not None else dft_mats(h, w)
-    # W stage: X = x @ e^{-i ang} = x @ (Cw - i Sw)
-    xr = _mm(x, cw)
-    xi = -_mm(x, sw)
-    # H stage: Y[k] = sum_n e^{-i ang_h[n,k]} X[n]  (contract axis -2)
-    def hstage(v, mat):
-        return jnp.swapaxes(_mm(jnp.swapaxes(v, -2, -1), mat), -2, -1)
-
-    yr = hstage(xr, ch) + hstage(xi, sh)
-    yi = hstage(xi, ch) - hstage(xr, sh)
-    return yr, yi
+    xr, xi = rfft_w_stage(x, cw, sw)
+    return fft_h_stage(xr, xi, ch, sh)
 
 
 def irfft2_mxu(yr: jnp.ndarray, yi: jnp.ndarray, mats=None, shape=None) -> jnp.ndarray:
@@ -94,15 +118,8 @@ def irfft2_mxu(yr: jnp.ndarray, yi: jnp.ndarray, mats=None, shape=None) -> jnp.n
         assert shape is not None
         mats = dft_mats(*shape)
     cw, sw, ch, sh, icw, isw = mats
-
-    def hstage(v, mat):
-        return jnp.swapaxes(_mm(jnp.swapaxes(v, -2, -1), mat), -2, -1)
-
-    # Z = F_h^H Y / h: F_h^H[n,k] = e^{+i ang}/1; matrices symmetric in (n,k)
-    zr = (hstage(yr, ch) - hstage(yi, sh)) / h
-    zi = (hstage(yi, ch) + hstage(yr, sh)) / h
-    # W stage with hermitian weights
-    return _mm(zr, icw) - _mm(zi, isw)
+    zr, zi = ifft_h_stage(yr, yi, ch, sh, h)
+    return irfft_w_stage(zr, zi, icw, isw)
 
 
 def freq_solve_mxu(s: jnp.ndarray, freq_c: jnp.ndarray, mats=None) -> jnp.ndarray:

@@ -102,6 +102,76 @@ def irfft2_sharded(
     return jnp.fft.irfft(xf, n=w, axis=-1)
 
 
+# -- MXU matmul-DFT pencil path ---------------------------------------------
+# On TPU the per-shard 1-D transforms run as MXU matmuls (the same ~14x
+# x-update win as ops/mxu_fft.py documents for the single-chip path); the
+# complex values travel as a stacked (2, ...) real array so each transpose
+# stays ONE all_to_all of the same byte volume as the complex64 form.
+
+
+def rfft2_sharded_mxu(x: jnp.ndarray, axis_name: str, n: int, w: int, mats):
+    """(B, C, H/n, W) real, H-sharded -> (Yr, Yi) each (B, C, H, wf_pad/n),
+    frequency-column-sharded."""
+    from torch_admm_deconv_tpu.ops.mxu_fft import fft_h_stage, rfft_w_stage
+
+    cw, sw, ch, sh, _, _ = mats
+    xr, xi = rfft_w_stage(x, cw, sw)
+    z = jnp.stack([xr, xi])  # (2, B, C, H/n, wf)
+    _, pad = _wf_pad(w, n)
+    if pad:
+        z = jnp.pad(z, ((0, 0),) * 4 + ((0, pad),))
+    z = jax.lax.all_to_all(z, axis_name, split_axis=4, concat_axis=3, tiled=True)
+    return fft_h_stage(z[0], z[1], ch, sh)
+
+
+def irfft2_sharded_mxu(
+    yr: jnp.ndarray, yi: jnp.ndarray, axis_name: str, n: int, h: int, w: int, mats
+) -> jnp.ndarray:
+    """Inverse of :func:`rfft2_sharded_mxu`: back to (B, C, H/n, W) real."""
+    from torch_admm_deconv_tpu.ops.mxu_fft import ifft_h_stage, irfft_w_stage
+
+    _, _, ch, sh, icw, isw = mats
+    zr, zi = ifft_h_stage(yr, yi, ch, sh, h)
+    z = jnp.stack([zr, zi])  # (2, B, C, H, wf_pad/n)
+    z = jax.lax.all_to_all(z, axis_name, split_axis=3, concat_axis=4, tiled=True)
+    wf, _ = _wf_pad(w, n)
+    return irfft_w_stage(z[0][..., :wf], z[1][..., :wf], icw, isw)
+
+
+def _resolve_spatial_fft_impl(fft_impl: str, kern) -> str:
+    """'auto' -> MXU matmul pencil stages on TPU, XLA FFT elsewhere. The
+    Hartley ('dht') form needs both +-kx columns on one shard, which the
+    pencil decomposition splits — it degrades to 'mxu' here."""
+    from torch_admm_deconv_tpu.ops.solver import _resolve_fft_impl
+
+    impl = _resolve_fft_impl(fft_impl, kern)
+    return "mxu" if impl == "dht" else impl
+
+
+def _make_sharded_freq_ops(impl: str, axis_name: str, n: int, h: int, w: int,
+                           h_local: int):
+    """(forward, inverse, scale-by-real, multiply-by-conj) for either pencil
+    implementation, hiding the complex64 vs (real, imag)-pair representation."""
+    if impl == "mxu":
+        from torch_admm_deconv_tpu.ops.mxu_fft import dft_mats
+
+        mats = dft_mats(h, w)
+        fwd = lambda v: rfft2_sharded_mxu(v, axis_name, n, w, mats)  # noqa: E731
+        inv = lambda p: irfft2_sharded_mxu(p[0], p[1], axis_name, n, h, w, mats)  # noqa: E731
+        mul_real = lambda p, c: (c * p[0], c * p[1])  # noqa: E731
+
+        def mul_conj(p, otf):
+            otf_r, otf_i = otf.real, otf.imag
+            return (otf_r * p[0] + otf_i * p[1], otf_r * p[1] - otf_i * p[0])
+
+        return fwd, inv, mul_real, mul_conj
+    fwd = lambda v: rfft2_sharded(v, axis_name, n, w)  # noqa: E731
+    inv = lambda xf: irfft2_sharded(xf, axis_name, n, h_local, w)  # noqa: E731
+    mul_real = lambda xf, c: c * xf  # noqa: E731
+    mul_conj = lambda xf, otf: jnp.conj(otf) * xf  # noqa: E731
+    return fwd, inv, mul_real, mul_conj
+
+
 # ---------------------------------------------------------------------------
 # closed-form per-column frequency grids (no replicated full-size arrays)
 # ---------------------------------------------------------------------------
@@ -167,7 +237,7 @@ def _shrink(dxu, dyu, tau, iso: bool, iso_mode: str):
 
 
 def _local_fixed_solver(
-    xin, lmbd, rho, kern, *, axis_name, n, h, w, iso, iso_mode, maxit
+    xin, lmbd, rho, kern, *, axis_name, n, h, w, iso, iso_mode, maxit, fft_impl
 ):
     dtype = xin.dtype
     h_local = xin.shape[-2]
@@ -175,6 +245,9 @@ def _local_fixed_solver(
     rho = jnp.reshape(rho, ()).astype(dtype)
     tau = lmbd / rho
 
+    fwd, inv, mul_real, mul_conj = _make_sharded_freq_ops(
+        fft_impl, axis_name, n, h, w, h_local
+    )
     kx, valid = _my_cols(axis_name, n, w)
     d2 = grad_abs2_cols(h, w, kx, dtype)
     if kern is None or kern.size == 0:
@@ -183,9 +256,7 @@ def _local_fixed_solver(
     else:
         otf_c = psf_otf_centered_cols(kern, h, w, kx, dtype)
         h_abs2 = (otf_c.real**2 + otf_c.imag**2).astype(dtype)
-        hty = irfft2_sharded(
-            jnp.conj(otf_c) * rfft2_sharded(xin, axis_name, n, w), axis_name, n, h_local, w
-        )
+        hty = inv(mul_conj(fwd(xin), otf_c))
     denom = h_abs2 + rho * d2
     freq_c = jnp.where(valid[None, :], 1.0 / denom, 0.0)
 
@@ -193,7 +264,7 @@ def _local_fixed_solver(
 
     def step(carry, _):
         s, u_x, u_y, _ = carry
-        x = irfft2_sharded(freq_c * rfft2_sharded(s, axis_name, n, w), axis_name, n, h_local, w)
+        x = inv(mul_real(fwd(s), freq_c))
         dxk = dx_local(x)
         dyk = dy_sharded(x, axis_name, n)
         z_x, z_y = _shrink(dxk + u_x, dyk + u_y, tau, iso, iso_mode)
@@ -217,6 +288,7 @@ def spatial_admm_tv(
     mesh: Mesh,
     axis: str = "space",
     iso_mode: str = "compat",
+    fft_impl: str = "auto",
 ) -> jnp.ndarray:
     """Fixed-iteration TV-ADMM with the image spatially tiled over ``axis``.
 
@@ -237,6 +309,7 @@ def spatial_admm_tv(
         iso=iso,
         iso_mode=iso_mode,
         maxit=maxit,
+        fft_impl=_resolve_spatial_fft_impl(fft_impl, kern_arr),
     )
     spec_x = P(None, None, axis, None)
     spec_s = P()
@@ -267,6 +340,7 @@ def spatial_admm_tv_adaptive(
     adapt_rho: bool = True,
     rho_mu: float = 10.0,
     rho_scale: float = 2.0,
+    fft_impl: str = "auto",
 ) -> AdaptiveResult:
     """Residual-stopped / adaptive-rho spatial solver: residual norms psum
     over the space axis so every shard stops and rescales rho jointly."""
@@ -275,6 +349,7 @@ def spatial_admm_tv_adaptive(
     assert h % n == 0
     kern_arr = None if kern is None or kern.size == 0 else jnp.asarray(kern)
     dtype = xin.dtype
+    impl = _resolve_spatial_fft_impl(fft_impl, kern_arr)
 
     def local(xin_l, lmbd_s, rho_s, *maybe_kern):
         kern_l = maybe_kern[0] if maybe_kern else None
@@ -282,6 +357,9 @@ def spatial_admm_tv_adaptive(
         lmbd_ = jnp.reshape(lmbd_s, ()).astype(dtype)
         rho0 = jnp.reshape(rho_s, ()).astype(dtype)
 
+        fwd, inv, mul_real, mul_conj = _make_sharded_freq_ops(
+            impl, axis, n, h, w, h_local
+        )
         kx, valid = _my_cols(axis, n, w)
         d2 = grad_abs2_cols(h, w, kx, dtype)
         if kern_l is None:
@@ -290,9 +368,7 @@ def spatial_admm_tv_adaptive(
         else:
             otf_c = psf_otf_centered_cols(kern_l, h, w, kx, dtype)
             h_abs2 = (otf_c.real**2 + otf_c.imag**2).astype(dtype)
-            hty = irfft2_sharded(
-                jnp.conj(otf_c) * rfft2_sharded(xin_l, axis, n, w), axis, n, h_local, w
-            )
+            hty = inv(mul_conj(fwd(xin_l), otf_c))
 
         def reduce_all(v):
             return jax.lax.psum(jnp.sum(v), axis_name=axis)
@@ -309,7 +385,7 @@ def spatial_admm_tv_adaptive(
             k, x, z_x, z_y, u_x, u_y, _, _, rho_k = carry
             freq_c = jnp.where(valid[None, :], 1.0 / (h_abs2 + rho_k * d2), 0.0)
             s_rhs = hty + rho_k * (dx_t_local(z_x - u_x) + dy_t_sharded(z_y - u_y, axis, n))
-            x = irfft2_sharded(freq_c * rfft2_sharded(s_rhs, axis, n, w), axis, n, h_local, w)
+            x = inv(mul_real(fwd(s_rhs), freq_c))
             dxk = dx_local(x)
             dyk = dy_sharded(x, axis, n)
             tau = lmbd_ / rho_k
