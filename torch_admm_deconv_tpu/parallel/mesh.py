@@ -36,6 +36,62 @@ def make_mesh(
     return Mesh(dev_array, tuple(axis_names))
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids=None,
+) -> Tuple[int, int]:
+    """Multi-host bootstrap (SURVEY.md §2.5 communication-backend row).
+
+    Initializes the JAX process group so ``jax.devices()`` spans every
+    host's chips and jit-compiled collectives ride ICI across the slice
+    (DCN across slices). On TPU pods all arguments auto-populate from the
+    environment (``jax.distributed.initialize()`` with no args); pass them
+    explicitly for multi-process CPU testing (tests/test_multihost.py).
+
+    Returns ``(process_index, process_count)``. Safe to call once per
+    process, before any other JAX API touches the backend.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
+def process_batch_bounds(global_batch: int) -> slice:
+    """This process's slice of the global batch (per-host data loading).
+
+    Each host loads only its own images; ``shard_host_batch`` assembles the
+    global array without any cross-host copy of pixel data.
+    """
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} must divide over {n} processes")
+    per = global_batch // n
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+def shard_host_batch(local_batch, mesh: Mesh, spec: P = P("data")):
+    """Assemble a globally-sharded array from this process's local shard.
+
+    ``local_batch`` is the host-local slice (see ``process_batch_bounds``);
+    the result is a global jax.Array laid out per ``spec`` over ``mesh``
+    with each piece already resident on its owner's devices.
+    """
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), np.asarray(local_batch)
+    )
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """NCHW batch sharded over the batch dimension."""
     return NamedSharding(mesh, P(axis))
