@@ -58,8 +58,16 @@ def main():
         pairs = builders.sidd_pairs(root)
         n_test = max(1, len(pairs) // 10)
         split_pairs = {"train": pairs[n_test:], "test": pairs[:n_test]}
-    elif d in (Dset.RENOIR, Dset.RNIND):
-        # RENOIR/RNIND: scene dirs with Noisy/Reference (or ISO-graded) images;
+    elif d == Dset.RNIND:
+        # RNIND: demosaic the _GT_ raws into clean train targets
+        # (reference make_rnind_train_set, make_blur_dset.py:197-220 —
+        # train-only, clean y; noise comes on the fly at train time)
+        raws = builders.rnind_gt_paths(root)
+        n = builders.rnind_raw_postprocess(raws, dirs[("train", "y")])
+        print(f"train: {n} RNIND GT raws demosaiced")
+        return
+    elif d == Dset.RENOIR:
+        # RENOIR: scene dirs with Noisy/Reference images;
         # pair the noisiest against the cleanest per scene, patch-tile.
         split_pairs = {"train": [], "test": []}
         scenes = sorted(p for p in root.iterdir() if p.is_dir())

@@ -94,3 +94,39 @@ def test_build_synthetic_pairs(tmp_path, rng):
     x_files = list((tmp_path / "out" / "awgn-0-10" / "train" / "x").glob("*.png"))
     y_files = list((tmp_path / "out" / "awgn-0-10" / "train" / "y").glob("*.png"))
     assert {f.name for f in x_files} == {f.name for f in y_files}  # shared uuids
+
+
+def test_nind_manifest_full_parity():
+    """The ported manifest matches the reference's hardcoded table size
+    (/root/reference/scripts/nind_dset.py:13-160: 126 scenes, 836 files)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import nind_dset
+
+    manifest = nind_dset.build_manifest()
+    assert len(manifest) == 126
+    assert sum(len(v) for v in manifest.values()) == 836
+    # spot-check title construction for one scene from each naming style
+    assert "File:NIND_droid_ISO200.jpg" in manifest["droid"]
+    assert "File:NIND_soap_ISO200-2.png" in manifest["soap"]
+    assert "File:NIND_whistle_ISOH4.jpg" in manifest["whistle"]
+    # set restriction
+    z6 = nind_dset.build_manifest(["Z6_16bit"])
+    assert set(z6) == {"sewingmachine", "bananapi", "couch"}
+
+
+def test_rnind_gt_selection(tmp_path):
+    """_GT_ raws are selected one-per-scene-id, first wins
+    (make_blur_dset.py:200-209)."""
+    from torch_admm_deconv_tpu.data.builders import rnind_gt_paths
+
+    names = [
+        "sceneA_GT_0.arw", "sceneA_GT_1.arw", "sceneA_ISO6400_0.arw",
+        "sceneB_GT_0.arw", "sceneC_ISO100_0.arw",
+    ]
+    for n in names:
+        (tmp_path / n).write_bytes(b"x")
+    got = sorted(p.name for p in rnind_gt_paths(tmp_path))
+    assert got == ["sceneA_GT_0.arw", "sceneB_GT_0.arw"]

@@ -114,6 +114,42 @@ def sidd_pairs(root: Path) -> List[Tuple[Path, Path]]:
     return pairs
 
 
+def rnind_gt_paths(root: Path) -> List[Path]:
+    """RNIND ground-truth raw selection: files with ``_GT_`` in the name,
+    first per scene id (reference make_blur_dset.py:200-209 — its dict
+    keeps only the first GT raw seen for each ``<id>_GT_*`` stem)."""
+    gts = {}
+    for im in sorted(Path(root).glob("*")):
+        if "_GT_" in im.name:
+            gts.setdefault(im.stem.split("_GT_")[0], im)
+    return list(gts.values())
+
+
+def rnind_raw_postprocess(raws: List[Path], save_dir: Path) -> int:
+    """Demosaic RNIND ``_GT_`` raws to 8-bit PNGs (make_blur_dset.py:211-216).
+
+    Requires ``rawpy`` (undeclared in the reference's pyproject too); the
+    import is gated so environments without it can still run every other
+    builder. rawpy's postprocess returns RGB; the PNGs are written RGB
+    (the reference's BGR2RGB + cv2.imwrite round-trip lands on the same
+    channel order)."""
+    try:
+        import rawpy
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("RNIND raw postprocessing requires rawpy") from e
+    from PIL import Image
+
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    count = 0
+    for img in raws:
+        with rawpy.imread(str(img)) as raw:
+            arr = raw.postprocess()
+        Image.fromarray(arr).save(save_dir / f"{Path(img).stem}.png")
+        count += 1
+    return count
+
+
 def extract_patches(
     img: np.ndarray, patch: int = 256, overlap: float = 0.25
 ) -> List[np.ndarray]:
