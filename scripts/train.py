@@ -26,6 +26,8 @@ def init_training(config_file, min_std, max_std, save_dir, model_name, device, m
 
     if device and device != "tpu":
         jax.config.update("jax_platforms", device)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from torch_admm_deconv_tpu.data import AddAWGN, DataLoader, ImageDataset, RandCrop, Scale
