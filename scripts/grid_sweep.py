@@ -41,9 +41,13 @@ def main():
     parser.add_argument("--lmbd_grid", default="0.002,0.005,0.01,0.02,0.04,0.08,0.15")
     parser.add_argument("--rho_grid", default="0.05,0.1,0.25,0.5,1.0,2.0,4.0")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
     args = parser.parse_args()
 
     import jax
+
+    if args.device != "tpu":
+        jax.config.update("jax_platforms", args.device)
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -147,3 +147,37 @@ def test_admm_deconv_layer_implicit_mode_trains():
     assert np.isfinite(float(val))
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     assert any(np.abs(np.asarray(g)).max() > 0 for g in leaves)
+
+
+def test_implicit_vmem_forward_matches_unrolled():
+    """On VMEM-eligible shapes (w%128==0) the implicit forward runs the
+    whole-solve-in-VMEM kernel (interpret mode on CPU); its output and
+    implicit gradients must still match the unrolled scan solver."""
+    from torch_admm_deconv_tpu.kernels.vmem_solver import adaptive_vmem_available
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((1, 3, 16, 128), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    assert adaptive_vmem_available(
+        x.shape, jnp.float32, None, True, "sample", return_state=True
+    )
+
+    def loss_unrolled(xin, lmbd, rho):
+        out = admm_tv(xin, lmbd, rho, None, iso=True, maxit=400, iso_mode="sample")
+        return jnp.sum(out * w)
+
+    def loss_implicit(xin, lmbd, rho):
+        out = admm_tv_implicit(
+            xin, lmbd, rho, None, iso=True, maxit=400,
+            tol=1e-7, iso_mode="sample", backward_iters=300,
+        )
+        return jnp.sum(out * w)
+
+    fu = loss_unrolled(x, 0.05, 1.0)
+    fi = loss_implicit(x, 0.05, 1.0)
+    assert np.allclose(fu, fi, rtol=1e-4, atol=1e-4)
+
+    gu = _grads(loss_unrolled, (0, 1, 2), x, 0.05, 1.0)
+    gi = _grads(loss_implicit, (0, 1, 2), x, 0.05, 1.0)
+    for a, b, name in zip(gu, gi, ("xin", "lmbd", "rho")):
+        _assert_close(a, b, name)

@@ -172,3 +172,48 @@ def test_adaptive_mixed_precision_honors_tol_contract(rng):
 def test_asymmetric_psf_not_available(rng):
     k = jnp.asarray(rng.random((1, 1, 3, 3)), jnp.float32)
     assert not vmem_solve_available((1, 1, 16, 128), jnp.float32, k, False, "compat")
+
+
+def test_maxit_zero_returns_x_init(rng):
+    """maxit=0 must return the solver's x init (zeros), matching an
+    unexecuted scan loop — not uninitialized scratch (VERDICT weak #2)."""
+    from torch_admm_deconv_tpu.kernels.vmem_solver import admm_tv_adaptive_vmem
+
+    x = _noisy(rng, b=1, c=1)
+    got_fixed = admm_tv_vmem(x, 0.05, 0.8, None, iso=False, maxit=0)
+    np.testing.assert_array_equal(np.asarray(got_fixed), 0.0)
+    res = admm_tv_adaptive_vmem(x, 0.05, 0.8, None, iso=False, maxit=0)
+    np.testing.assert_array_equal(np.asarray(res.x), 0.0)
+    assert int(res.iters[0]) == 0
+
+
+def test_adaptive_return_state_is_fixed_point(rng):
+    """return_state exit state must (a) agree with the returned x and
+    (b) be a fixed point of one more full-precision ADMM iteration."""
+    from torch_admm_deconv_tpu.kernels.vmem_solver import admm_tv_adaptive_vmem
+    from torch_admm_deconv_tpu.ops.implicit import _fixed_point_step
+
+    x = _noisy(rng, b=1, c=3)
+    res, state = admm_tv_adaptive_vmem(
+        x, 0.05, 0.8, None, iso=True, iso_mode="sample",
+        maxit=400, tol=1e-5, rho_mu=1e30, precision="high", return_state=True,
+    )
+    np.testing.assert_allclose(np.asarray(state[0]), np.asarray(res.x), atol=1e-6)
+    theta = (x, jnp.float32(0.05), jnp.float32(0.8), jnp.zeros((1, 1, 0, 0), jnp.float32))
+    nxt = _fixed_point_step(state, theta, True, "sample", x.shape[-2:])
+    # tol=1e-5 is RELATIVE (scaled by sqrt(2*C*H*W)): per-element step drift
+    # up to ~tol*sqrt(n) ~ 1e-3 absolute is within the stopping contract
+    for a, b in zip(state, nxt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_adaptive_return_state_fixed_rho(rng):
+    """rho_mu=inf disables residual balancing: final rho == input rho."""
+    from torch_admm_deconv_tpu.kernels.vmem_solver import admm_tv_adaptive_vmem
+
+    x = _noisy(rng, b=1, c=1)
+    res, _ = admm_tv_adaptive_vmem(
+        x, 0.05, 0.8, None, iso=False, maxit=50, tol=1e-4,
+        rho_mu=1e30, return_state=True,
+    )
+    np.testing.assert_allclose(np.asarray(res.rho), 0.8, rtol=1e-6)

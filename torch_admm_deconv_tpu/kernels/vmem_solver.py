@@ -133,10 +133,13 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0):
         inv_hw = 1.0 / (h * w)
         hty = hty_ref[0]  # (g, H, W)
 
-        # x, z, u start at zero => first RHS is exactly hty (deconv.py:61-67)
+        # x, z, u start at zero => first RHS is exactly hty (deconv.py:61-67).
+        # t_scr is zeroed so a maxit=0 solve returns the x init (zeros), the
+        # same contract as the scan solver's unexecuted loop.
         s_scr[...] = hty
         ux_scr[...] = jnp.zeros_like(hty)
         uy_scr[...] = jnp.zeros_like(hty)
+        t_scr[...] = jnp.zeros_like(hty)
 
         th_hi, th_lo = th_hi_ref[...], th_lo_ref[...]
         tw_hi, tw_lo = tw_hi_ref[...], tw_lo_ref[...]
@@ -239,6 +242,7 @@ def _make_adaptive_kernel(
     rho_scale: float,
     fast_switch: float = 0.0,
     fast_cap: int = 0,
+    return_state: bool = False,
 ):
     """Residual-stopped, adaptive-rho variant. Stopping and rho adaptation
     are PER BLOCK (per plane, or per sample in 'sample' mode) — each block
@@ -255,29 +259,17 @@ def _make_adaptive_kernel(
     ``fast_cap`` bounds the fast phase in case a block's bf16 noise floor
     sits above ``fast_switch``."""
 
-    def kernel(
-        lmbd_ref,
-        rho0_ref,
-        hty_ref,
-        habs2_ref,
-        d2_ref,
-        th_hi_ref,
-        th_lo_ref,
-        tw_hi_ref,
-        tw_lo_ref,
-        x_ref,
-        iters_ref,
-        r_ref,
-        sres_ref,
-        rhof_ref,
-        s_scr,
-        ux_scr,
-        uy_scr,
-        zx_scr,
-        zy_scr,
-        y_scr,
-        t_scr,
-    ):
+    def kernel(*refs):
+        (lmbd_ref, rho0_ref, hty_ref, habs2_ref, d2_ref,
+         th_hi_ref, th_lo_ref, tw_hi_ref, tw_lo_ref) = refs[:9]
+        if return_state:
+            x_ref, zxo_ref, zyo_ref, uxo_ref, uyo_ref = refs[9:14]
+            iters_ref, r_ref, sres_ref, rhof_ref = refs[14:18]
+            scratch = refs[18:]
+        else:
+            x_ref, iters_ref, r_ref, sres_ref, rhof_ref = refs[9:14]
+            scratch = refs[14:]
+        s_scr, ux_scr, uy_scr, zx_scr, zy_scr, y_scr, t_scr = scratch
         lmbd = lmbd_ref[0, 0]
         rho0 = rho0_ref[0, 0]
         h = hty_ref.shape[-2]
@@ -392,6 +384,13 @@ def _make_adaptive_kernel(
         lp, rp = _make_stages(th_hi, th_lo, tw_hi, tw_lo, fast=False)
         k, r, sd, rho = jax.lax.while_loop(cond, body_with(lp, rp), carry)
         x_ref[0] = t_scr[...]
+        if return_state:
+            # full ADMM state at exit, for the implicit-VJP fixed-point
+            # linearization (ops/implicit.py)
+            zxo_ref[0] = zx_scr[...]
+            zyo_ref[0] = zy_scr[...]
+            uxo_ref[0] = ux_scr[...]
+            uyo_ref[0] = uy_scr[...]
         pid = pl.program_id(0)
         iters_ref[pid, 0] = k.astype(jnp.float32)
         r_ref[pid, 0] = r
@@ -401,14 +400,18 @@ def _make_adaptive_kernel(
     return kernel
 
 
-def adaptive_vmem_available(shape, dtype, kern, iso: bool, iso_mode: str) -> bool:
+def adaptive_vmem_available(
+    shape, dtype, kern, iso: bool, iso_mode: str, return_state: bool = False
+) -> bool:
     """Eligibility for :func:`admm_tv_adaptive_vmem` — same gates as the
-    fixed-iteration kernel plus two extra z-history planes in the budget."""
+    fixed-iteration kernel plus two extra z-history planes in the budget
+    (plus the four exit-state output windows when ``return_state``)."""
     if not vmem_solve_available(shape, dtype, kern, iso, iso_mode):
         return False
     g = _block_channels(shape, iso, iso_mode)
     h, w = shape[-2], shape[-1]
-    return (12 * g + 2) * h * w * 4 + 4 * (h * h + w * w) <= _VMEM_BUDGET_BYTES
+    planes = (16 if return_state else 12) * g + 2
+    return planes * h * w * 4 + 4 * (h * h + w * w) <= _VMEM_BUDGET_BYTES
 
 
 @partial(
@@ -422,6 +425,7 @@ def adaptive_vmem_available(shape, dtype, kern, iso: bool, iso_mode: str) -> boo
         "rho_scale",
         "precision",
         "fast_switch",
+        "return_state",
     ),
 )
 def admm_tv_adaptive_vmem(
@@ -438,6 +442,7 @@ def admm_tv_adaptive_vmem(
     rho_scale: float = 2.0,
     precision: str = "mixed",
     fast_switch: float | None = None,
+    return_state: bool = False,
 ):
     """Whole-solve-in-VMEM classical TV-ADMM with residual stopping and
     adaptive rho. Unlike :func:`ops.solver.admm_tv_adaptive` (one GLOBAL
@@ -454,7 +459,10 @@ def admm_tv_adaptive_vmem(
     bf16x3 throughout.
 
     Returns an ``AdaptiveResult`` whose ``iters``/``r_norm``/``s_norm``/
-    ``rho`` are per-block arrays of shape (n_blocks,).
+    ``rho`` are per-block arrays of shape (n_blocks,). With
+    ``return_state=True`` returns ``(AdaptiveResult, (x, z_x, z_y, u_x,
+    u_y))`` — the full ADMM state at exit, for fixed-point (implicit)
+    differentiation.
     """
     from torch_admm_deconv_tpu.ops import fdops
     from torch_admm_deconv_tpu.ops.mxu_fft import cas_mats, mirror_freq_full
@@ -492,9 +500,11 @@ def admm_tv_adaptive_vmem(
     sout = pl.BlockSpec((n_blocks, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     mode = iso_mode if iso else None
+    # +4g planes of output-DMA window when the exit state is also written
+    planes_resident = (16 if return_state else 12) * g + 2
     vmem_limit = min(
         128 * 1024 * 1024,
-        int(((12 * g + 2) * h * w * 4 + 4 * (h * h + w * w)) * 1.25) + 16 * 1024 * 1024,
+        int((planes_resident * h * w * 4 + 4 * (h * h + w * w)) * 1.25) + 16 * 1024 * 1024,
     )
     if precision == "mixed":
         switch = float(fast_switch) if fast_switch is not None else max(20.0 * tol, 1e-2)
@@ -505,7 +515,9 @@ def admm_tv_adaptive_vmem(
         raise ValueError(f"precision must be 'mixed' or 'high', got {precision!r}")
 
     scalar_out = jax.ShapeDtypeStruct((n_blocks, 1), jnp.float32)
-    x, iters, r, sd, rho_f = pl.pallas_call(
+    plane_out = jax.ShapeDtypeStruct((n_blocks, g, h, w), dtype)
+    n_state = 5 if return_state else 1
+    outs = pl.pallas_call(
         _make_adaptive_kernel(
             maxit,
             mode,
@@ -515,6 +527,7 @@ def admm_tv_adaptive_vmem(
             float(rho_scale),
             fast_switch=switch,
             fast_cap=fast_cap,
+            return_state=return_state,
         ),
         grid=(n_blocks,),
         in_specs=[
@@ -528,14 +541,8 @@ def admm_tv_adaptive_vmem(
             full2d(w, w),
             full2d(w, w),
         ],
-        out_specs=[block, sout, sout, sout, sout],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, g, h, w), dtype),
-            scalar_out,
-            scalar_out,
-            scalar_out,
-            scalar_out,
-        ],
+        out_specs=[block] * n_state + [sout] * 4,
+        out_shape=[plane_out] * n_state + [scalar_out] * 4,
         scratch_shapes=[pltpu.VMEM((g, h, w), jnp.float32)] * 7,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=jax.default_backend() != "tpu",
@@ -550,13 +557,18 @@ def admm_tv_adaptive_vmem(
         tw_hi,
         tw_lo,
     )
-    return AdaptiveResult(
-        x=x.reshape(b, c, h, w),
+    planes, (iters, r, sd, rho_f) = outs[:n_state], outs[n_state:]
+    result = AdaptiveResult(
+        x=planes[0].reshape(b, c, h, w),
         iters=iters.reshape(n_blocks).astype(jnp.int32),
         r_norm=r.reshape(n_blocks),
         s_norm=sd.reshape(n_blocks),
         rho=rho_f.reshape(n_blocks),
     )
+    if return_state:
+        state = tuple(p.reshape(b, c, h, w) for p in planes)
+        return result, state
+    return result
 
 
 @partial(jax.jit, static_argnames=("iso", "maxit", "iso_mode", "precision"))

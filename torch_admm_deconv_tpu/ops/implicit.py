@@ -117,18 +117,52 @@ def _solve_full_state(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode):
     return (x, z_x, z_y, u_x, u_y)
 
 
+def _solve_state_dispatch(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode):
+    """Fastest available residual-stopped fixed-rho solve returning the full
+    (x, z_x, z_y, u_x, u_y) state.
+
+    When the whole-solve-in-VMEM Pallas kernel supports the configuration
+    (f32, tile-aligned, no/symmetric concrete PSF — kernels/vmem_solver.py),
+    the forward runs there with per-block stopping and the exit state read
+    straight out of VMEM; rho adaptation is disabled (rho_mu=inf) so the
+    state is a fixed point of the *given* rho, which is what the implicit
+    VJP linearizes. Otherwise the XLA while_loop solve runs. Either way the
+    custom VJP below sees the same (state, theta) interface — this is how
+    the measured ~3x VMEM solve speedup reaches training
+    (gradient_mode='implicit')."""
+    kern_arr = None if kern.size == 0 else kern
+    from torch_admm_deconv_tpu.kernels.vmem_solver import (
+        adaptive_vmem_available,
+        admm_tv_adaptive_vmem,
+    )
+
+    if adaptive_vmem_available(
+        xin.shape, xin.dtype, kern_arr, iso, iso_mode, return_state=True
+    ):
+        _, state = admm_tv_adaptive_vmem(
+            xin,
+            jax.lax.stop_gradient(lmbd),
+            jax.lax.stop_gradient(rho),
+            kern_arr,
+            iso=iso,
+            maxit=maxit,
+            tol=tol,
+            iso_mode=iso_mode,
+            rho_mu=1e30,  # residual balancing off: fixed-rho fixed point
+            return_state=True,
+        )
+        return state
+    return _solve_full_state(xin, lmbd, rho, kern_arr, iso, maxit, tol, iso_mode)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _implicit(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode, backward_iters):
-    v = _solve_full_state(
-        xin, lmbd, rho, None if kern.size == 0 else kern, iso, maxit, tol, iso_mode
-    )
+    v = _solve_state_dispatch(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode)
     return v[0]
 
 
 def _implicit_fwd(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode, backward_iters):
-    v = _solve_full_state(
-        xin, lmbd, rho, None if kern.size == 0 else kern, iso, maxit, tol, iso_mode
-    )
+    v = _solve_state_dispatch(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode)
     return v[0], (v, (xin, lmbd, rho, kern))
 
 
