@@ -51,3 +51,45 @@ def test_nafnet_local_runs_large_input(rng):
     out = m.apply(p, x)
     assert out.shape == x.shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_tlsc_kernel_matches_reference_calibration():
+    """_sca_kernel must reproduce the kernel sizes the reference's
+    Local_Base.convert calibration caches into each AvgPool2d — including
+    a train size that needs check_image_size divisibility padding."""
+    import sys
+
+    try:
+        import torch  # noqa: F401
+    except ImportError:  # pragma: no cover
+        import pytest
+
+        pytest.skip("torch unavailable")
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    try:
+        from admmtor.modelbuild.nafnet import NAFNetLocal as RefLocal
+    except ImportError:  # pragma: no cover
+        import pytest
+
+        pytest.skip("reference package unavailable")
+
+    th, tw = 58, 44  # 58 % 4 != 0: exercises the calibration padding
+    ref = RefLocal(
+        train_size=(1, 3, th, tw), img_channel=3, width=4,
+        middle_blk_num=1, enc_blk_nums=[1, 1], dec_blk_nums=[1, 1],
+    )
+    ours = NAFNetLocal(
+        train_size=(th, tw), img_channel=3, width=4,
+        middle_blk_num=1, enc_blk_nums=[1, 1], dec_blk_nums=[1, 1],
+    )
+
+    def ref_kernel(block):
+        return tuple(block.sca[0].kernel_size)
+
+    for level, enc in enumerate(ref.encoders):
+        assert ref_kernel(enc[0]) == ours._sca_kernel(level), f"enc level {level}"
+    assert ref_kernel(ref.middle_blks[0]) == ours._sca_kernel(len(ref.encoders))
+    for li, dec in enumerate(ref.decoders):
+        level = len(ref.encoders) - 1 - li
+        assert ref_kernel(dec[0]) == ours._sca_kernel(level), f"dec level {level}"

@@ -6,9 +6,17 @@ as Flax modules on NCHW.
 Includes the TLSC test-time local-statistics conversion ("Revisiting Global
 Statistics Aggregation...", Chu et al. 2021): ``NAFNetLocal`` swaps the
 simplified channel attention's global average pool for a cumsum-based local
-average pool sized from the train crop (nafnet.py:22-117). Here that is a
-static configuration (``train_size``) rather than runtime module surgery —
-same math, jit-friendly.
+average pool. Kernel-size semantics match the reference exactly: its
+``AvgPool2d.forward`` formula ``kernel = x.shape * base // train``
+(nafnet.py:43-46) is evaluated ONCE — during ``Local_Base.convert``'s
+calibration forward with a *train-size* input (nafnet.py:114-117) — and
+then cached on the module, so the effective kernel is the static
+``train_feature_at_level * int(1.5*train) // train`` regardless of the
+inference input size. ``_sca_kernel`` reproduces that calibration
+arithmetic (including the divisibility padding of ``check_image_size``,
+nafnet.py:263-268); configuration is declarative (``train_size``) rather
+than runtime module surgery (replace_layers, nafnet.py:91-100) — same
+math, jit-friendly.
 """
 
 from __future__ import annotations
@@ -55,7 +63,8 @@ class NAFBlock(nn.Module):
     dw_expand: int = 2
     ffn_expand: int = 2
     drop_out_rate: float = 0.0
-    # TLSC: when set, SCA pools locally with this kernel instead of globally
+    # TLSC: when set, SCA pools locally with this kernel (the calibration-
+    # cached size NAFNet._sca_kernel computes) instead of globally
     sca_local_kernel: Optional[Tuple[int, int]] = None
     deterministic: bool = True
 
@@ -67,11 +76,11 @@ class NAFBlock(nn.Module):
         x = Conv2d(c, dw, 1, name="conv1")(x)
         x = Conv2d(dw, dw, 3, padding=1, groups=dw, name="conv2")(x)
         x = simple_gate(x)
-        # simplified channel attention
-        if self.sca_local_kernel is not None and (
-            self.sca_local_kernel[0] < x.shape[-2] or self.sca_local_kernel[1] < x.shape[-1]
-        ):
-            pooled = local_avg_pool2d(x, self.sca_local_kernel)
+        # simplified channel attention; global pool unless the TLSC kernel is
+        # strictly smaller than the feature map (reference nafnet.py:53-54)
+        kernel = self.sca_local_kernel
+        if kernel is not None and (kernel[0] < x.shape[-2] or kernel[1] < x.shape[-1]):
+            pooled = local_avg_pool2d(x, kernel)
         else:
             pooled = adaptive_avg_pool2d_1(x)
         sca = Conv2d(dw // 2, dw // 2, 1, name="sca_conv")(pooled)
@@ -102,14 +111,23 @@ class NAFNet(nn.Module):
     train_size: Optional[Tuple[int, int]] = None
     tlsc_ratio: float = 1.5
 
-    def _sca_kernel(self, feat_hw: Tuple[int, int], level: int):
+    def _sca_kernel(self, level: int) -> Optional[Tuple[int, int]]:
+        """The TLSC pool kernel a block at ``level`` uses — bit-exact to the
+        reference's calibration: ``Local_Base.convert`` runs one train-size
+        forward (nafnet.py:114-117); each ``AvgPool2d`` evaluates
+        ``kernel = x.shape * base // train`` with x at the calibration
+        feature resolution (``padded_train / 2^level``, after
+        ``check_image_size`` divisibility padding) and caches the result
+        (nafnet.py:40-46), so inference at any size reuses this kernel."""
         if self.train_size is None:
             return None
         th, tw = self.train_size
-        base = (int(th * self.tlsc_ratio) // (2**level), int(tw * self.tlsc_ratio) // (2**level))
-        # kernel scales with the ratio of inference to train size at runtime;
-        # the standard deployment uses the static base size
-        return base
+        padder = 2 ** len(self.enc_blk_nums)
+        pth = th + (padder - th % padder) % padder
+        ptw = tw + (padder - tw % padder) % padder
+        base = (int(th * self.tlsc_ratio), int(tw * self.tlsc_ratio))
+        feat = (pth // (2**level), ptw // (2**level))
+        return (feat[0] * base[0] // th, feat[1] * base[1] // tw)
 
     @nn.compact
     def __call__(self, inp: jnp.ndarray) -> jnp.ndarray:
@@ -127,7 +145,7 @@ class NAFNet(nn.Module):
         for li, num in enumerate(self.enc_blk_nums):
             for bi in range(num):
                 x = NAFBlock(
-                    chan, sca_local_kernel=self._sca_kernel((h, w), li), name=f"enc_{li}_{bi}"
+                    chan, sca_local_kernel=self._sca_kernel(li), name=f"enc_{li}_{bi}"
                 )(x)
             encs.append(x)
             x = Conv2d(chan, 2 * chan, 2, stride=2, name=f"down_{li}")(x)
@@ -136,7 +154,7 @@ class NAFNet(nn.Module):
         for bi in range(self.middle_blk_num):
             x = NAFBlock(
                 chan,
-                sca_local_kernel=self._sca_kernel((h, w), len(self.enc_blk_nums)),
+                sca_local_kernel=self._sca_kernel(len(self.enc_blk_nums)),
                 name=f"middle_{bi}",
             )(x)
 
@@ -148,7 +166,7 @@ class NAFNet(nn.Module):
             level = len(self.enc_blk_nums) - 1 - li
             for bi in range(num):
                 x = NAFBlock(
-                    chan, sca_local_kernel=self._sca_kernel((h, w), level), name=f"dec_{li}_{bi}"
+                    chan, sca_local_kernel=self._sca_kernel(level), name=f"dec_{li}_{bi}"
                 )(x)
 
         x = Conv2d(self.width, self.img_channel, 3, padding=1, name="ending")(x)
