@@ -27,10 +27,8 @@ from torch_admm_deconv_tpu.models.layers_common import (
     InstanceNorm2d,
     Linear,
     adaptive_avg_pool2d_1,
-    avg_pool2d,
     gelu,
     identity,
-    max_pool2d,
 )
 
 # ---------------------------------------------------------------------------
@@ -281,13 +279,18 @@ class ChannelGate(nn.Module):
             h = mlp[0](v.reshape(v.shape[0], -1))
             return mlp[1](gelu(h))
 
-        h, w = x.shape[2], x.shape[3]
         att_sum = None
         for pool_type in self.pool_types:
+            # the reference pools over the FULL plane (attentions.py:70-77);
+            # express that as a plain reduction, not a windowed reduce: the
+            # backward of a plane-sized reduce_window max is a
+            # select_and_scatter whose VMEM operand exceeds the chip limit
+            # at flagship shapes (3x86x256x256), while reduce-max/mean
+            # differentiate through cheap masks/broadcasts
             if pool_type == "avg":
-                pooled = avg_pool2d(x, (h, w), (h, w))
+                pooled = jnp.mean(x, axis=(2, 3), keepdims=True)
             elif pool_type == "max":
-                pooled = max_pool2d(x, (h, w), (h, w))
+                pooled = jnp.max(x, axis=(2, 3), keepdims=True)
             elif pool_type == "lp":
                 # torch lp_pool2d(norm_type=2): (sum x^2)^(1/2) over the window
                 pooled = jnp.sqrt(jnp.sum(x**2, axis=(2, 3), keepdims=True))
