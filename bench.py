@@ -1,55 +1,53 @@
-"""Headline benchmark: batched TV-ADMM deconvolution iterations/s/chip.
+"""Headline benchmark: the BASELINE.json north-star metric set on one chip.
 
-Config (BASELINE.json configs 1-2 scaled to the single available chip):
-batch 8 RGB 512x512, 9x9 gaussian PSF, anisotropic TV, fixed rho, 200
-iterations, whole-solve-in-VMEM Pallas path with the mixed-precision
-(inexact-ADMM) schedule — first 3/4 of the iterations use single-pass bf16
-x-update matmuls, the bf16x3 tail contracts the roundoff (measured max
-deviation vs the all-bf16x3 solve: 3e-4 at this exact config; see
-scripts/bench_mixed_precision.py).
+Measured (all on the real TPU, timing around host fetches — the tunnel's
+``block_until_ready`` returns early, so wall time uses the subtraction
+methods in utils/profiling):
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+1. **config 1** — batched TV-ADMM deconvolution iterations/s/chip: batch 8
+   RGB 512x512, 9x9 gaussian PSF, anisotropic TV, fixed rho, 200
+   iterations, whole-solve-in-VMEM Pallas path with the mixed-precision
+   (inexact-ADMM) schedule (first 3/4 single-pass bf16 x-update matmuls,
+   bf16x3 tail; max deviation vs all-bf16x3: 3e-4 at this config — see
+   scripts/bench_mixed_precision.py).
+2. **time-to-1e-4 residual** — the adaptive VMEM kernel
+   (per-block residual stopping + rho balancing) on the same problem,
+   next to the fixed-200-iteration solve time.
+3. **config 2** — batch 64 RGB 512x512 with MIXED PSFs: half gaussian
+   (symmetric => VMEM Hartley path), half motion blur (asymmetric => the
+   complex MXU matmul-DFT scan path). One batch iteration advances all 64
+   images by one ADMM iteration.
+4. **MFU / roofline fraction** — achieved fraction of the chip's peak
+   bf16 matmul throughput during config 1, counted two ways: ``mfu``
+   (useful algorithm FLOPs: 4 Hartley matmuls per plane-iteration) and
+   ``mxu_fraction_executed`` (including the bf16x3 precision passes the
+   schedule actually issues; avg 1.5 passes/matmul at the 3/4 : 1/4 mix).
 
-``vs_baseline`` is the speedup over the reference implementation's update
-equations executed by torch on this host (CPU — the reference's CUDA path
-has no GPU here; the reference repo publishes no throughput numbers at all,
-BASELINE.md). The torch baseline runs the same batch/shape/iteration math.
+Prints ONE JSON line. Keys ``metric``/``value``/``unit``/``vs_baseline``
+keep their round-1 meaning (iterations/s/chip at config 1; vs_baseline is
+the speedup over the reference's update equations executed by torch on
+this host's CPU — the reference publishes no throughput numbers at all and
+no CUDA GPU exists here, BASELINE.md); the north-star numbers ride as
+additional fields.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-
-def bench_tpu(batch=8, size=512, maxit=200, psf_size=9):
-    """Iteration-scaling timing: time the same solver at two iteration
-    counts and difference them — fetch/dispatch overhead (large over the
-    device tunnel, whose block_until_ready does not await completion)
-    cancels, and the compiled graph stays small."""
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    import jax.numpy as jnp
-
-    from torch_admm_deconv_tpu.ops.solver import admm_tv
-    from torch_admm_deconv_tpu.utils.profiling import iter_scaling_throughput
-
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((batch, 3, size, size), dtype=np.float32))
-    kern = jnp.asarray(_gaussian_psf(psf_size, 1.5))
-
-    def solver_of_maxit(m):
-        return lambda v: admm_tv(
-            v, 0.002, 0.5, kern, iso=False, maxit=m, use_pallas=True, precision="mixed"
-        )
-
-    per_iter = iter_scaling_throughput(solver_of_maxit, x, m_small=maxit, m_big=5 * maxit)
-    return 1.0 / per_iter, per_iter * maxit
+# Peak dense bf16 matmul throughput per chip (public spec sheets).
+_PEAK_BF16 = {
+    "TPU v5e": 394e12,
+    "TPU v5 lite": 394e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+}
+_DEFAULT_PEAK = 394e12  # v5e — the chip this repo targets
 
 
 def _gaussian_psf(size, sigma):
@@ -57,6 +55,126 @@ def _gaussian_psf(size, sigma):
     g = np.exp(-(ax**2) / (2.0 * sigma**2))
     k = np.outer(g, g)
     return (k / k.sum()).reshape(1, 1, size, size).astype(np.float32)
+
+
+def _motion_psf(size=9, angle_deg=30.0):
+    """Linear motion-blur PSF: a unit line segment through the center at
+    ``angle_deg``, bilinearly splatted. Asymmetric under flips => complex
+    OTF => exercises the complex MXU-DFT x-update (ops/mxu_fft.py)."""
+    k = np.zeros((size, size), np.float64)
+    c = (size - 1) / 2.0
+    th = np.radians(angle_deg)
+    # one-sided segment (center to edge) => not centro-symmetric
+    for t in np.linspace(0.0, c, 8 * size):
+        y, x = c + t * np.sin(th), c + t * np.cos(th)
+        iy, ix = int(np.floor(y)), int(np.floor(x))
+        fy, fx = y - iy, x - ix
+        for dy, wy in ((0, 1 - fy), (1, fy)):
+            for dx, wx in ((0, 1 - fx), (1, fx)):
+                if 0 <= iy + dy < size and 0 <= ix + dx < size:
+                    k[iy + dy, ix + dx] += wy * wx
+    return (k / k.sum()).reshape(1, 1, size, size).astype(np.float32)
+
+
+def _scene(rng, batch, size):
+    """Piecewise-smooth synthetic scene batch (smooth background + random
+    rectangles) — the image class TV restoration targets. Unstructured
+    uniform noise makes time-to-tol unrealistically slow (the TV prior
+    never explains the signal), so benchmarks use this instead."""
+    coarse = rng.standard_normal((batch, 3, 8, 8)).repeat(size // 8, 2).repeat(size // 8, 3)
+    img = 0.5 + 0.15 * coarse
+    for b in range(batch):
+        for _ in range(6):
+            y0, x0 = rng.integers(0, size - size // 4, 2)
+            hh, ww = rng.integers(size // 16, size // 4, 2)
+            img[b, :, y0 : y0 + hh, x0 : x0 + ww] = rng.random(3)[:, None, None]
+    img += 0.01 * rng.standard_normal(img.shape)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def _peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_BF16.items():
+        if name.lower() in kind.lower():
+            return peak, kind
+    return _DEFAULT_PEAK, kind
+
+
+def bench_config1(batch=8, size=512, maxit=200, psf_size=9):
+    """Config 1 per-iteration time via iteration scaling (t(m_big) -
+    t(m_small)) / (m_big - m_small), plus the dispatch/fetch overhead
+    estimate needed to time single adaptive solves."""
+    import jax.numpy as jnp
+
+    from torch_admm_deconv_tpu.ops.solver import admm_tv
+    from torch_admm_deconv_tpu.utils.profiling import timed_fetch
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(_scene(rng, batch, size))
+    kern = jnp.asarray(_gaussian_psf(psf_size, 1.5))
+
+    def solver_of_maxit(m):
+        return lambda v: admm_tv(
+            v, 0.002, 0.5, kern, iso=False, maxit=m, use_pallas=True, precision="mixed"
+        )
+
+    m_small, m_big = maxit, 5 * maxit
+    f_small, f_big = solver_of_maxit(m_small), solver_of_maxit(m_big)
+    np.asarray(f_small(x)), np.asarray(f_big(x))  # compile
+    t_small = timed_fetch(f_small, x)
+    t_big = timed_fetch(f_big, x)
+    per_iter = (t_big - t_small) / (m_big - m_small)
+    overhead = max(t_small - m_small * per_iter, 0.0)
+    return x, kern, per_iter, overhead
+
+
+def bench_time_to_tol(x, kern, overhead, tol=1e-4, maxit=600):
+    """Adaptive VMEM kernel: wall time of one residual-stopped solve to
+    ``tol`` (dispatch/fetch overhead subtracted), plus iteration stats."""
+    from torch_admm_deconv_tpu.kernels.vmem_solver import admm_tv_adaptive_vmem
+    from torch_admm_deconv_tpu.utils.profiling import timed_fetch
+
+    def solve(v):
+        return admm_tv_adaptive_vmem(
+            v, 0.002, 0.5, kern, iso=False, maxit=maxit, tol=tol
+        ).x
+
+    np.asarray(solve(x))  # compile
+    t = timed_fetch(solve, x)
+    res = admm_tv_adaptive_vmem(x, 0.002, 0.5, kern, iso=False, maxit=maxit, tol=tol)
+    iters = np.asarray(res.iters)
+    return max(t - overhead, 0.0), float(iters.mean()), int(iters.max())
+
+
+def bench_config2(size=512, half=32, maxit=200, psf_size=9):
+    """Config 2: batch 64 mixed gaussian+motion PSFs. The gaussian half
+    rides the VMEM Hartley kernel; the motion half (asymmetric PSF) rides
+    the scan path's complex MXU matmul-DFT. Per-iteration times via
+    iteration scaling on each half; one mixed-batch iteration = sum."""
+    import jax.numpy as jnp
+
+    from torch_admm_deconv_tpu.ops.solver import admm_tv
+    from torch_admm_deconv_tpu.utils.profiling import iter_scaling_throughput
+
+    rng = np.random.default_rng(1)
+    xg = jnp.asarray(_scene(rng, half, size))
+    xm = jnp.asarray(_scene(rng, half, size))
+    kg = jnp.asarray(_gaussian_psf(psf_size, 1.5))
+    km = jnp.asarray(_motion_psf(psf_size))
+
+    def gaussian_of_maxit(m):
+        return lambda v: admm_tv(
+            v, 0.002, 0.5, kg, iso=False, maxit=m, use_pallas=True, precision="mixed"
+        )
+
+    def motion_of_maxit(m):
+        return lambda v: admm_tv(v, 0.002, 0.5, km, iso=False, maxit=m)
+
+    tg = iter_scaling_throughput(gaussian_of_maxit, xg, m_small=maxit, m_big=3 * maxit)
+    tm = iter_scaling_throughput(motion_of_maxit, xm, m_small=maxit, m_big=3 * maxit)
+    return tg, tm
 
 
 def bench_torch_reference(batch=8, size=512, iters=3, psf_size=9):
@@ -68,7 +186,6 @@ def bench_torch_reference(batch=8, size=512, iters=3, psf_size=9):
     except ImportError:
         return None
 
-    torch.set_num_threads(torch.get_num_threads())
     x = torch.rand(batch, 3, size, size)
     psf = torch.from_numpy(_gaussian_psf(psf_size, 1.5))
     lmbd, rho = 0.002, 0.5
@@ -123,13 +240,61 @@ def bench_torch_reference(batch=8, size=512, iters=3, psf_size=9):
 
 
 def main():
-    iters_per_s, dt = bench_tpu()
+    import jax
+
+    if os.environ.get("BENCH_PLATFORM"):  # e.g. cpu for smoke runs
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    batch, size, maxit = 8, 512, 200
+    if os.environ.get("BENCH_SMOKE"):  # CI/CPU smoke: tiny shapes
+        batch, size, maxit = 2, 128, 8
+
+    x, kern, per_iter, overhead = bench_config1(batch, size, maxit)
+    iters_per_s = 1.0 / per_iter
+    solve_ms = per_iter * maxit * 1e3
     print(
-        f"[bench] 200-iter batch-8 RGB 512x512 deblur: {dt:.4f}s/solve "
-        f"({iters_per_s:.1f} ADMM iters/s/chip)",
+        f"[bench] config1 {maxit}-iter batch-{batch} RGB {size}x{size} deblur: "
+        f"{solve_ms:.1f} ms/solve ({iters_per_s:.1f} ADMM iters/s/chip)",
         file=sys.stderr,
     )
-    ref = bench_torch_reference()
+
+    # --- MFU / roofline fraction (config 1) -------------------------------
+    peak, device_kind = _peak_flops()
+    planes = batch * 3
+    macs_per_plane_iter = 2 * (size * size * size + size * size * size)  # 4 matmuls
+    useful_flops = planes * 2 * macs_per_plane_iter
+    mfu = useful_flops / per_iter / peak
+    executed_passes = 0.75 * 1 + 0.25 * 3  # the mixed schedule's pass mix
+    mxu_fraction = mfu * executed_passes
+    print(
+        f"[bench] {device_kind}: MFU {mfu:.2%} of {peak/1e12:.0f} TFLOP/s peak "
+        f"(executed-pass MXU fraction {mxu_fraction:.2%})",
+        file=sys.stderr,
+    )
+
+    # --- time-to-1e-4 (adaptive VMEM, per-block stopping) -----------------
+    t_tol, mean_iters, max_iters = bench_time_to_tol(x, kern, overhead)
+    print(
+        f"[bench] adaptive VMEM to 1e-4: {t_tol*1e3:.1f} ms "
+        f"(mean {mean_iters:.0f} / max {max_iters} iters per block) "
+        f"vs fixed-{maxit}: {solve_ms:.1f} ms",
+        file=sys.stderr,
+    )
+
+    # --- config 2: batch 64, mixed gaussian+motion PSFs -------------------
+    half = 4 if os.environ.get("BENCH_SMOKE") else 32
+    tg, tm = bench_config2(size=size, half=half, maxit=maxit)
+    mixed_iter = tg + tm
+    print(
+        f"[bench] config2 batch-{2*half} mixed PSFs: gaussian(VMEM) "
+        f"{1/tg:.1f} it/s + motion(complex MXU-DFT) {1/tm:.1f} it/s "
+        f"=> {1/mixed_iter:.1f} mixed-batch iters/s",
+        file=sys.stderr,
+    )
+
+    ref = bench_torch_reference(batch, size)
     vs = iters_per_s / ref if ref else None
     if ref:
         print(
@@ -140,10 +305,20 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "admm_iterations_per_s_per_chip_512x512_batch8_rgb",
+                "metric": f"admm_iterations_per_s_per_chip_{size}x{size}_batch{batch}_rgb",
                 "value": round(iters_per_s, 2),
                 "unit": "iterations/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "device": device_kind,
+                "mfu": round(mfu, 4),
+                "mxu_fraction_executed": round(mxu_fraction, 4),
+                "fixed_solve_ms": round(solve_ms, 2),
+                "time_to_tol1e4_ms": round(t_tol * 1e3, 2),
+                "adaptive_mean_iters": round(mean_iters, 1),
+                "adaptive_max_iters": max_iters,
+                "config2_gaussian_vmem_iters_per_s": round(1 / tg, 2),
+                "config2_motion_mxu_dft_iters_per_s": round(1 / tm, 2),
+                "config2_mixed_batch64_iters_per_s": round(1 / mixed_iter, 2),
             }
         )
     )

@@ -62,10 +62,10 @@ def amedian(x: jnp.ndarray) -> jnp.ndarray:
     return f[..., (f.shape[-1] - 1) // 2]
 
 
-def mode_along_last(x: jnp.ndarray) -> jnp.ndarray:
-    """Sort-based mode along the last axis (most frequent value; ties ->
-    smallest; all-unique floats -> minimum, matching torch.mode)."""
-    s = jnp.sort(x, axis=-1)
+def mode_from_sorted(s: jnp.ndarray) -> jnp.ndarray:
+    """Mode along the last axis of an ASCENDING-sorted array (most frequent
+    value; ties -> smallest; all-unique floats -> minimum, matching
+    torch.mode)."""
     n = s.shape[-1]
     idx = jnp.arange(n)
     neq = jnp.concatenate(
@@ -79,6 +79,11 @@ def mode_along_last(x: jnp.ndarray) -> jnp.ndarray:
     # value is the smallest among equally frequent values (ascending sort)
     start = jnp.take_along_axis(run_start, best, axis=-1)
     return jnp.take_along_axis(s, start, axis=-1)[..., 0]
+
+
+def mode_along_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Sort-based mode along the last axis."""
+    return mode_from_sorted(jnp.sort(x, axis=-1))
 
 
 def amodes(x: jnp.ndarray) -> jnp.ndarray:
@@ -223,10 +228,19 @@ class BasicConv(nn.Module):
 
 def channel_pool(x: jnp.ndarray) -> jnp.ndarray:
     """Stack per-pixel std/median/mode across channels (attentions.py:38-47
-    — note the reference pools std/median/MODE, max/mean are commented out)."""
+    — note the reference pools std/median/MODE, max/mean are commented out).
+
+    Median and mode come from ONE sort of a 2D (B*H*W, C) view with the
+    sort axis minor: sorting a 4D NCHW tensor along the channel axis (or
+    its moveaxis'd 4D view) makes XLA:TPU pad the sort operand ~44x
+    (measured 2.69 GB of padding per 64.5 MB operand at flagship training
+    shapes, an instant HBM OOM); the 2D minor-axis sort pads only
+    C -> lanes (86 -> 128, 1.5x)."""
+    b, c, h, w = x.shape
+    s = jnp.sort(jnp.moveaxis(x, 1, -1).reshape(-1, c), axis=-1)
+    med = s[:, (c - 1) // 2].reshape(b, h, w)
+    mode = mode_from_sorted(s).reshape(b, h, w)
     std = jnp.std(x, axis=1, ddof=1)
-    med = jnp.sort(x, axis=1)[:, (x.shape[1] - 1) // 2]
-    mode = mode_along_last(jnp.moveaxis(x, 1, -1))
     return jnp.stack([std, med, mode], axis=1)
 
 

@@ -267,11 +267,19 @@ class DivergentAttention(nn.Module):
     attention_reduction: int
     out_activation: Optional[Callable] = None
     admms: Optional[Sequence[dict]] = None
+    # rematerialize each branch's CBAM/UpDownBlock internals in the backward
+    # pass — at flagship training shapes (32 branches x (B,86,256,256)
+    # features) storing every branch's gate/pool intermediates exceeds the
+    # 16 GB chip HBM; recomputing them trades ~1 extra forward of the branch
+    # for O(branches) fewer live activations. Identical numerics.
+    remat_branches: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.admms is not None:
             assert len(self.admms) == self.branches
+        cbam_cls = nn.remat(CBAM) if self.remat_branches else CBAM
+        udb_cls = nn.remat(UpDownBlock) if self.remat_branches else UpDownBlock
         convs: List[nn.Module] = []
         for i in range(self.branches):
             convs.append(
@@ -285,7 +293,7 @@ class DivergentAttention(nn.Module):
                 )
             )
             convs.append(
-                UpDownBlock(
+                udb_cls(
                     up_in_ch=self.in_channels,
                     up_out_ch=self.in_channels,
                     down_out_ch=self.conv_filters,
@@ -294,7 +302,7 @@ class DivergentAttention(nn.Module):
                 )
             )
         attentions = [
-            CBAM(
+            cbam_cls(
                 gate_channels=self.gate_channels,
                 reduction_ratio=self.attention_reduction,
                 pool_types=_POOL_TYPES[i % 2],

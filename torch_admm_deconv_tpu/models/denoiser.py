@@ -39,17 +39,22 @@ class DivergentRestorer(nn.Module):
     intermediate_activation: Optional[Callable] = None
     output_activation: Optional[Callable] = None
     admms: Optional[Sequence[dict]] = None
+    # rematerialize whole levels (and each branch's attention internals) in
+    # the backward pass — required to train the flagship [2,8,32] config at
+    # 256^2 within 16 GB HBM; numerics unchanged
+    remat_levels: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n = len(self.level_branches)
+        da_cls = nn.remat(DivergentAttention) if self.remat_levels else DivergentAttention
         blocks = []
         scas = []
         for i in range(n):
             scas.append(ChannelWiseAttention(self.filters, name=f"sca_{i}"))
             if i == 0:
                 blocks.append(
-                    DivergentAttention(
+                    da_cls(
                         branches=self.level_branches[i],
                         in_channels=self.in_channels,
                         out_channels=self.filters,
@@ -58,12 +63,13 @@ class DivergentRestorer(nn.Module):
                         attention_reduction=self.attention_reduction,
                         out_activation=self.intermediate_activation,
                         admms=self.admms,
+                        remat_branches=self.remat_levels,
                         name=f"block_{i}",
                     )
                 )
             elif i == n - 1:
                 blocks.append(
-                    DivergentAttention(
+                    da_cls(
                         branches=self.level_branches[i],
                         in_channels=self.filters + self.in_channels,
                         out_channels=self.final_channels,
@@ -71,12 +77,13 @@ class DivergentRestorer(nn.Module):
                         gate_channels=self.gate_channels,
                         attention_reduction=self.attention_reduction,
                         out_activation=self.output_activation,
+                        remat_branches=self.remat_levels,
                         name=f"block_{i}",
                     )
                 )
             else:
                 blocks.append(
-                    DivergentAttention(
+                    da_cls(
                         branches=self.level_branches[i],
                         in_channels=self.filters + self.in_channels,
                         out_channels=self.filters,
@@ -84,6 +91,7 @@ class DivergentRestorer(nn.Module):
                         gate_channels=self.gate_channels,
                         attention_reduction=self.attention_reduction,
                         out_activation=self.intermediate_activation,
+                        remat_branches=self.remat_levels,
                         name=f"block_{i}",
                     )
                 )
@@ -128,4 +136,5 @@ def flagship_divergent_restorer(
         attention_reduction=8,
         output_activation=output_activation,
         admms=[dict(admm), dict(admm)],
+        remat_levels=remat,
     )
