@@ -60,9 +60,14 @@ def main():
     parser.add_argument("--nafnet_ckpt", default=None,
                         help="optional NAFNet comparison checkpoint (.tar)")
     parser.add_argument("--nafnet_width", type=int, default=64)
+    parser.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
     args = parser.parse_args()
 
     import jax
+
+    if args.device != "tpu":
+        jax.config.update("jax_platforms", args.device)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
 
     from torch_admm_deconv_tpu.data import AddAWGN, DataLoader, ImageDataset, RandCrop, Scale
