@@ -123,9 +123,11 @@ def bench_config1(batch=8, size=512, maxit=200, psf_size=9):
     m_small, m_big = maxit, 5 * maxit
     f_small, f_big = solver_of_maxit(m_small), solver_of_maxit(m_big)
     np.asarray(f_small(x)), np.asarray(f_big(x))  # compile
-    t_small = timed_fetch(f_small, x)
-    t_big = timed_fetch(f_big, x)
+    t_small = timed_fetch(f_small, x, reps=5)
+    t_big = timed_fetch(f_big, x, reps=5)
     per_iter = (t_big - t_small) / (m_big - m_small)
+    if per_iter <= 0:  # tunnel timing noise under device contention
+        per_iter = t_big / m_big
     overhead = max(t_small - m_small * per_iter, 0.0)
     return x, kern, per_iter, overhead
 

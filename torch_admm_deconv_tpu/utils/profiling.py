@@ -61,20 +61,28 @@ def chained_throughput(step_fn: Callable, x, chain: int = 6, reps: int = 3) -> f
 
 
 def iter_scaling_throughput(
-    solver_of_maxit: Callable[[int], Callable], x, m_small: int = 200, m_big: int = 1000, reps: int = 3
+    solver_of_maxit: Callable[[int], Callable], x, m_small: int = 200, m_big: int = 1000, reps: int = 5
 ) -> float:
     """Seconds per solver iteration from two iteration counts of the SAME
     loop body: per-iter = (t(m_big) - t(m_small)) / (m_big - m_small).
     Fetch/dispatch overhead cancels and — unlike chaining solves — the
     compiled graph stays small (chain compiles can stall the remote compile
-    helper for many minutes on this platform)."""
+    helper for many minutes on this platform).
+
+    Tunnel fetch latency is noisy enough that the subtraction can come out
+    non-positive when the device is contended; in that case fall back to
+    the conservative whole-solve rate t(m_big)/m_big (includes dispatch
+    overhead — an underestimate of true throughput, never a negative)."""
     f_small = solver_of_maxit(m_small)
     f_big = solver_of_maxit(m_big)
     np.asarray(f_small(x))
     np.asarray(f_big(x))  # compile
     t_small = timed_fetch(f_small, x, reps=reps)
     t_big = timed_fetch(f_big, x, reps=reps)
-    return (t_big - t_small) / (m_big - m_small)
+    per_iter = (t_big - t_small) / (m_big - m_small)
+    if per_iter <= 0:
+        per_iter = t_big / m_big
+    return per_iter
 
 
 class StepTimer:
