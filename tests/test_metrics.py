@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -40,6 +41,35 @@ def test_ssim_matches_skimage_formula_on_flat_images():
     c1 = 0.01**2
     want = (2 * 0.4 * 0.6 + c1) / (0.4**2 + 0.6**2 + c1)  # cs term = 1 (zero var)
     np.testing.assert_allclose(float(F.ssim(a, b)), want, rtol=1e-5)
+
+
+def test_metrics_immune_to_default_bf16_precision(rng):
+    """Round-3 regression test for the round-2 training NaN: on TPU, convs
+    run at bf16 'default' precision, and the E[x^2]-mu^2 variance inside
+    SSIM/UIQ/SCC cancels catastrophically — the flagship loss measured -30.5
+    on the chip vs +1.43 on CPU (scripts/diag_tpu.py). The metric convs now
+    pin Precision.HIGHEST, so results must be unchanged under an ambient
+    bf16 default-precision context. NOTE: the CPU backend computes f32
+    regardless of precision hints, so on CPU this is a guard against
+    someone *explicitly* lowering the pinned precision; the authoritative
+    check is the TPU loss-parity drive (benchmarks/tpu_loss_parity_r3.md)."""
+    pred, target = _pair(rng)
+    want_ssim = float(F.ssim(pred, target))
+    want_uiq = float(F.uiq(pred, target))
+    want_scc = float(F.scc(pred, target))
+    from torch_admm_deconv_tpu.metrics.color import rgb_to_lab
+
+    want_lab = np.asarray(rgb_to_lab(pred))
+    with jax.default_matmul_precision("bfloat16"):
+        got_ssim = float(F.ssim(pred, target))
+        got_uiq = float(F.uiq(pred, target))
+        got_scc = float(F.scc(pred, target))
+        got_lab = np.asarray(rgb_to_lab(pred))
+    assert got_ssim == pytest.approx(want_ssim, abs=1e-6)
+    assert got_uiq == pytest.approx(want_uiq, abs=1e-6)
+    assert got_scc == pytest.approx(want_scc, abs=1e-6)
+    np.testing.assert_allclose(got_lab, want_lab, atol=1e-5)
+    assert -1.0 <= got_ssim <= 1.0
 
 
 def test_ms_ssim_properties(rng):

@@ -49,6 +49,84 @@ def test_logger_psnr_from_mean_mse():
     np.testing.assert_allclose(avg["psnr"], 10 * np.log10(1 / 0.025), rtol=1e-6)
 
 
+def test_logger_nan_step_excluded_from_mean():
+    """Round-3 hardening: a NaN step must not poison the epoch average."""
+    loss = SSIMLoss("cpu")
+    logger = MetricsLogger(loss, [])
+    logger.update_step_metric_val(loss.m_name, 0.5)
+    logger.update_step_metric_val(loss.m_name, float("nan"))
+    logger.update_step_metric_val(loss.m_name, 0.7)
+    logger("train")
+    avg = logger.get_avg_metrics("train")
+    np.testing.assert_allclose(avg[loss.m_name], 0.6, rtol=1e-6)
+    # all-NaN epoch still reports NaN (nothing to average)
+    logger.reinit_step_stats()
+    logger.update_step_metric_val(loss.m_name, float("inf"))
+    logger("train")
+    assert math.isnan(logger.get_avg_metrics("train")[loss.m_name])
+
+
+def test_logger_push_step_sums():
+    """On-device accumulator path: sums + finite counts fold to the same
+    means the per-step path produces."""
+    loss = SSIMLoss("cpu")
+    logger = MetricsLogger(loss, [PSNRMetric("cpu")])
+    logger.push_step_sums(
+        {loss.m_name: 1.2, "mse": 0.05, "psnr": 34.0},
+        {loss.m_name: 2, "mse": 2, "psnr": 2},
+    )
+    logger("train")
+    avg = logger.get_avg_metrics("train")
+    np.testing.assert_allclose(avg[loss.m_name], 0.6, rtol=1e-6)
+    np.testing.assert_allclose(avg["psnr"], 10 * np.log10(1 / 0.025), rtol=1e-6)
+
+
+def test_saver_nan_loss_never_best(tmp_path):
+    """A NaN epoch-0 loss must neither save nor disable later best-saves
+    (fixes the reference's saver.py:37-44 NaN poisoning, hit in round 2)."""
+    saver = NNSaver(str(tmp_path), "m", SaveMode.Best, use_time_date=False)
+    params = {"w": jnp.ones((2,))}
+    saver.save_on_epoch_end(0, params, {}, float("nan"))  # no save
+    assert list((tmp_path / "m").glob("*.tar")) == []
+    saver.save_on_epoch_end(1, params, {}, 0.9)  # first finite: save
+    saver.save_on_epoch_end(2, params, {}, float("inf"))  # no save, no poison
+    saver.save_on_epoch_end(3, params, {}, 0.5)  # strictly better: save
+    files = sorted(p.name for p in (tmp_path / "m").glob("*.tar"))
+    assert files == ["m_epoch01_vloss0.9000.tar", "m_epoch03_vloss0.5000.tar"]
+
+
+def test_trainer_nonfinite_loss_detected(tmp_path, capsys):
+    """The trainer counts non-finite step losses on-device, warns, and can
+    raise; finite metrics from other steps still average correctly."""
+
+    class _NaNBombLoss(MSE):
+        m_name = "nanbomb"
+
+        def __call__(self, y_pred, y_true):
+            # NaN whenever the batch mean of y_true exceeds a threshold —
+            # deterministic, jit-compatible, hits some batches only
+            base = jnp.mean((y_pred - y_true) ** 2)
+            return jnp.where(jnp.mean(y_true) > 0.5, jnp.nan, base)
+
+    model = M.Conv2d(3, 3, 1)
+    loss = _NaNBombLoss("cpu")
+    loader = _SyntheticLoader(n_batches=4)
+    n_bad_expected = sum(1 for _, y in loader if float(np.mean(y)) > 0.5)
+    assert 0 < n_bad_expected < 4, "fixture should mix finite and NaN steps"
+    logger = MetricsLogger(loss, [])
+    trainer = NNTrainer(loss, [], None, logger)
+    trainer.run(model, make_optimizer(1e-3), epochs=1, train_dataloader=loader,
+                eval_dataloader=loader, base_lr=1e-3)
+    out = capsys.readouterr().out
+    assert "non-finite loss" in out
+    assert math.isfinite(logger.get_avg_metrics("train")[loss.m_name])
+
+    trainer2 = NNTrainer(loss, [], None, MetricsLogger(loss, []), on_nonfinite="raise")
+    with pytest.raises(FloatingPointError):
+        trainer2.run(model, make_optimizer(1e-3), epochs=1, train_dataloader=loader,
+                     eval_dataloader=loader, base_lr=1e-3)
+
+
 def test_saver_best_mode_strictness(tmp_path):
     saver = NNSaver(str(tmp_path), "m", SaveMode.Best, use_time_date=False)
     params = {"w": jnp.ones((2,))}

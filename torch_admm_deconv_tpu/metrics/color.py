@@ -8,6 +8,7 @@ point, L in [0, 100], a/b roughly [-100, 100].
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # sRGB -> XYZ (D65) matrix
@@ -28,7 +29,14 @@ def _srgb_linearize(c: jnp.ndarray) -> jnp.ndarray:
 def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
     """(B, 3, H, W) RGB in [0, 1] -> (B, 3, H, W) Lab."""
     lin = _srgb_linearize(jnp.clip(rgb, 0.0, 1.0))
-    xyz = jnp.einsum("ij,bjhw->bihw", _RGB2XYZ.astype(rgb.dtype), lin)
+    # explicit precision: TPU default (bf16) einsum would add ~1e-2 relative
+    # noise to the Lab values feeding the training loss
+    xyz = jnp.einsum(
+        "ij,bjhw->bihw",
+        _RGB2XYZ.astype(rgb.dtype),
+        lin,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     xyz = xyz / _WHITE.astype(rgb.dtype)[None, :, None, None]
 
     eps = 0.008856

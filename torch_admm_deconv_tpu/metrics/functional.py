@@ -16,6 +16,15 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+# TPU matmuls/convs run at bf16 ("default") precision unless told otherwise.
+# Every windowed moment below computes a variance as E[x^2] - mu^2 — a
+# catastrophic cancellation at bf16 (~3 decimal digits on values ~1): on the
+# chip var_x + var_y can land near -c2, blowing SSIM to O(10) and the
+# round-2 flagship training loss to -30 before the first optimizer step NaNed
+# the weights (train_run.log; diagnosed round 3, scripts/diag_tpu.py). The
+# windows are tiny, so full-f32 convs cost nothing measurable.
+_CONV_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((pred - target) ** 2)
@@ -45,6 +54,7 @@ def _windowed_means(x: jnp.ndarray, kernel1d: jnp.ndarray) -> jnp.ndarray:
         "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=x.shape[1],
+        precision=_CONV_PRECISION,
     )
     x = jax.lax.conv_general_dilated(
         x,
@@ -53,6 +63,7 @@ def _windowed_means(x: jnp.ndarray, kernel1d: jnp.ndarray) -> jnp.ndarray:
         "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=x.shape[1],
+        precision=_CONV_PRECISION,
     )
     return x
 
@@ -161,6 +172,7 @@ def scc(
             [(1, 1), (1, 1)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             feature_group_count=x.shape[1],
+            precision=_CONV_PRECISION,
         )
 
     fx = filt(pred)

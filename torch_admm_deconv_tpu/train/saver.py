@@ -80,6 +80,18 @@ class NNSaver:
                     )
 
     def save_if_best(self, epoch, params, opt_state, vloss):
+        # Round-3 hardening (fixes a reference flaw the repo's conventions say
+        # to fix, reference saver.py:37-44): a non-finite loss is NEVER best
+        # and is NOT recorded, so a NaN epoch can neither save a garbage
+        # checkpoint nor permanently disable best-checkpointing (nan > x is
+        # False for every later finite x).
+        if not np.isfinite(vloss):
+            print(
+                f"WARNING: epoch {epoch} loss is non-finite ({vloss}); "
+                "not saving and not recording as a best-loss candidate.",
+                flush=True,
+            )
+            return
         if self._losses.size == 0 or (self._losses > vloss).sum() == self._losses.shape[0]:
             self.save_model(epoch, params, opt_state, vloss)
         self._losses = np.append(self._losses, vloss)
