@@ -103,13 +103,14 @@ def _peak_flops():
 
 
 def bench_config1(batch=8, size=512, maxit=200, psf_size=9):
-    """Config 1 per-iteration time via iteration scaling (t(m_big) -
-    t(m_small)) / (m_big - m_small), plus the dispatch/fetch overhead
-    estimate needed to time single adaptive solves."""
+    """Config 1 per-iteration time via A/B-interleaved iteration scaling
+    (median of (t(m_big) - t(m_small)) / (m_big - m_small) pairs with a
+    reported dispersion band — utils/profiling.robust_iter_timing), plus the
+    dispatch/fetch overhead estimate needed to time single adaptive solves."""
     import jax.numpy as jnp
 
     from torch_admm_deconv_tpu.ops.solver import admm_tv
-    from torch_admm_deconv_tpu.utils.profiling import timed_fetch
+    from torch_admm_deconv_tpu.utils.profiling import robust_iter_timing
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(_scene(rng, batch, size))
@@ -120,23 +121,15 @@ def bench_config1(batch=8, size=512, maxit=200, psf_size=9):
             v, 0.002, 0.5, kern, iso=False, maxit=m, use_pallas=True, precision="mixed"
         )
 
-    m_small, m_big = maxit, 5 * maxit
-    f_small, f_big = solver_of_maxit(m_small), solver_of_maxit(m_big)
-    np.asarray(f_small(x)), np.asarray(f_big(x))  # compile
-    t_small = timed_fetch(f_small, x, reps=5)
-    t_big = timed_fetch(f_big, x, reps=5)
-    per_iter = (t_big - t_small) / (m_big - m_small)
-    if per_iter <= 0:  # tunnel timing noise under device contention
-        per_iter = t_big / m_big
-    overhead = max(t_small - m_small * per_iter, 0.0)
-    return x, kern, per_iter, overhead
+    res = robust_iter_timing(solver_of_maxit, x, m_small=maxit, m_big=5 * maxit, reps=9)
+    return x, kern, res
 
 
-def bench_time_to_tol(x, kern, overhead, tol=1e-4, maxit=600):
+def bench_time_to_tol(x, kern, overhead, tol=1e-4, maxit=600, reps=7):
     """Adaptive VMEM kernel: wall time of one residual-stopped solve to
-    ``tol`` (dispatch/fetch overhead subtracted), plus iteration stats."""
+    ``tol`` — median of ``reps`` runs, dispatch/fetch overhead subtracted —
+    plus iteration stats."""
     from torch_admm_deconv_tpu.kernels.vmem_solver import admm_tv_adaptive_vmem
-    from torch_admm_deconv_tpu.utils.profiling import timed_fetch
 
     def solve(v):
         return admm_tv_adaptive_vmem(
@@ -144,7 +137,12 @@ def bench_time_to_tol(x, kern, overhead, tol=1e-4, maxit=600):
         ).x
 
     np.asarray(solve(x))  # compile
-    t = timed_fetch(solve, x)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(solve(x))
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
     res = admm_tv_adaptive_vmem(x, 0.002, 0.5, kern, iso=False, maxit=maxit, tol=tol)
     iters = np.asarray(res.iters)
     return max(t - overhead, 0.0), float(iters.mean()), int(iters.max())
@@ -153,12 +151,13 @@ def bench_time_to_tol(x, kern, overhead, tol=1e-4, maxit=600):
 def bench_config2(size=512, half=32, maxit=200, psf_size=9):
     """Config 2: batch 64 mixed gaussian+motion PSFs. The gaussian half
     rides the VMEM Hartley kernel; the motion half (asymmetric PSF) rides
-    the scan path's complex MXU matmul-DFT. Per-iteration times via
-    iteration scaling on each half; one mixed-batch iteration = sum."""
+    the complex-pair VMEM kernel (round 3; previously the scan path's
+    complex MXU matmul-DFT). Per-iteration times via interleaved iteration
+    scaling on each half; one mixed-batch iteration = sum."""
     import jax.numpy as jnp
 
     from torch_admm_deconv_tpu.ops.solver import admm_tv
-    from torch_admm_deconv_tpu.utils.profiling import iter_scaling_throughput
+    from torch_admm_deconv_tpu.utils.profiling import robust_iter_timing
 
     rng = np.random.default_rng(1)
     xg = jnp.asarray(_scene(rng, half, size))
@@ -172,11 +171,13 @@ def bench_config2(size=512, half=32, maxit=200, psf_size=9):
         )
 
     def motion_of_maxit(m):
-        return lambda v: admm_tv(v, 0.002, 0.5, km, iso=False, maxit=m)
+        return lambda v: admm_tv(
+            v, 0.002, 0.5, km, iso=False, maxit=m, use_pallas=True, precision="mixed"
+        )
 
-    tg = iter_scaling_throughput(gaussian_of_maxit, xg, m_small=maxit, m_big=3 * maxit)
-    tm = iter_scaling_throughput(motion_of_maxit, xm, m_small=maxit, m_big=3 * maxit)
-    return tg, tm
+    rg = robust_iter_timing(gaussian_of_maxit, xg, m_small=maxit, m_big=3 * maxit, reps=7)
+    rm = robust_iter_timing(motion_of_maxit, xm, m_small=maxit, m_big=3 * maxit, reps=7)
+    return rg, rm
 
 
 def bench_torch_reference(batch=8, size=512, iters=3, psf_size=9):
@@ -253,12 +254,17 @@ def main():
     if os.environ.get("BENCH_SMOKE"):  # CI/CPU smoke: tiny shapes
         batch, size, maxit = 2, 128, 8
 
-    x, kern, per_iter, overhead = bench_config1(batch, size, maxit)
+    x, kern, t1 = bench_config1(batch, size, maxit)
+    per_iter, overhead = t1.per_iter, t1.overhead
     iters_per_s = 1.0 / per_iter
     solve_ms = per_iter * maxit * 1e3
     print(
         f"[bench] config1 {maxit}-iter batch-{batch} RGB {size}x{size} deblur: "
-        f"{solve_ms:.1f} ms/solve ({iters_per_s:.1f} ADMM iters/s/chip)",
+        f"{solve_ms:.1f} ms/solve ({iters_per_s:.1f} ADMM iters/s/chip "
+        f"+/- {t1.rel_spread:.1%}"
+        + (", CONTENDED" if t1.contended else "")
+        + (", FALLBACK-TIMING" if t1.fallback else "")
+        + ")",
         file=sys.stderr,
     )
 
@@ -287,11 +293,13 @@ def main():
 
     # --- config 2: batch 64, mixed gaussian+motion PSFs -------------------
     half = 4 if os.environ.get("BENCH_SMOKE") else 32
-    tg, tm = bench_config2(size=size, half=half, maxit=maxit)
+    rg, rm = bench_config2(size=size, half=half, maxit=maxit)
+    tg, tm = rg.per_iter, rm.per_iter
     mixed_iter = tg + tm
     print(
         f"[bench] config2 batch-{2*half} mixed PSFs: gaussian(VMEM) "
-        f"{1/tg:.1f} it/s + motion(complex MXU-DFT) {1/tm:.1f} it/s "
+        f"{1/tg:.1f} it/s +/- {rg.rel_spread:.1%} + motion(complex VMEM) "
+        f"{1/tm:.1f} it/s +/- {rm.rel_spread:.1%} "
         f"=> {1/mixed_iter:.1f} mixed-batch iters/s",
         file=sys.stderr,
     )
@@ -312,6 +320,9 @@ def main():
                 "unit": "iterations/s",
                 "vs_baseline": round(vs, 2) if vs else None,
                 "device": device_kind,
+                "rel_spread": round(t1.rel_spread, 4),
+                "timing_contended": bool(t1.contended or rg.contended or rm.contended),
+                "timing_fallback": bool(t1.fallback or rg.fallback or rm.fallback),
                 "mfu": round(mfu, 4),
                 "mxu_fraction_executed": round(mxu_fraction, 4),
                 "fixed_solve_ms": round(solve_ms, 2),
@@ -319,7 +330,7 @@ def main():
                 "adaptive_mean_iters": round(mean_iters, 1),
                 "adaptive_max_iters": max_iters,
                 "config2_gaussian_vmem_iters_per_s": round(1 / tg, 2),
-                "config2_motion_mxu_dft_iters_per_s": round(1 / tm, 2),
+                "config2_motion_vmem_iters_per_s": round(1 / tm, 2),
                 "config2_mixed_batch64_iters_per_s": round(1 / mixed_iter, 2),
             }
         )

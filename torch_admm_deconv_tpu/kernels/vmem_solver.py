@@ -74,32 +74,63 @@ def _mm3(a_hi, a_lo, b_hi, b_lo):
     return _dot(a_hi, b_hi) + _dot(a_hi, b_lo) + _dot(a_lo, b_hi)
 
 
-def _make_stages(th_hi, th_lo, tw_hi, tw_lo, fast: bool):
-    """(lstage, rstage) transform pair. ``fast``: single-pass bf16 matmuls
-    (3x fewer MXU passes, ~4e-3 relative roundoff) for the inexact-ADMM
-    early phase; else the bf16x3 split (~1e-5)."""
-    if fast:
+def _make_xform(mats, fast: bool):
+    """One full spectral transform v -> T(v) as MXU matmuls.
 
-        def lstage(v):
-            return _dot(th_hi, v.astype(jnp.bfloat16))
+    ``mats`` holds split (hi, lo) bf16 matrices. 4 entries (th, tw pairs)
+    select the separable cas-cas transform — 2 matmuls, valid for per-axis-
+    even spectra. 8 entries (th, thp, cw, sw pairs) select the TRUE 2-D
+    Hartley transform DHT2(v) = (T_h v) C_w + (T_h' v) S_w — 4 matmuls,
+    valid for ANY real PSF's jointly-even spectrum (ops/mxu_fft.py,
+    'Hartley-pair'); T_h'[k] = T_h[(H-k) % H] is precomputed host-side.
 
-        def rstage(v):
-            return _dot(v.astype(jnp.bfloat16), tw_hi)
+    ``fast``: single-pass bf16 matmuls (3x fewer MXU passes, ~4e-3 relative
+    roundoff) for the inexact-ADMM early phase; else the bf16x3 split
+    (~1e-5)."""
+    if len(mats) == 4:
+        th_hi, th_lo, tw_hi, tw_lo = mats
+        if fast:
+
+            def xform(v):
+                a = _dot(th_hi, v.astype(jnp.bfloat16))
+                return _dot(a.astype(jnp.bfloat16), tw_hi)
+
+        else:
+
+            def xform(v):
+                v_hi, v_lo = _split(v)
+                a = _mm3(th_hi, th_lo, v_hi, v_lo)
+                a_hi, a_lo = _split(a)
+                return _mm3(a_hi, a_lo, tw_hi, tw_lo)
 
     else:
+        th_hi, th_lo, thp_hi, thp_lo, cw_hi, cw_lo, sw_hi, sw_lo = mats
+        if fast:
 
-        def lstage(v):
-            v_hi, v_lo = _split(v)
-            return _mm3(th_hi, th_lo, v_hi, v_lo)
+            def xform(v):
+                vb = v.astype(jnp.bfloat16)
+                a1 = _dot(th_hi, vb)
+                a2 = _dot(thp_hi, vb)
+                return _dot(a1.astype(jnp.bfloat16), cw_hi) + _dot(
+                    a2.astype(jnp.bfloat16), sw_hi
+                )
 
-        def rstage(v):
-            v_hi, v_lo = _split(v)
-            return _mm3(v_hi, v_lo, tw_hi, tw_lo)
+        else:
 
-    return lstage, rstage
+            def xform(v):
+                v_hi, v_lo = _split(v)
+                a1 = _mm3(th_hi, th_lo, v_hi, v_lo)
+                a2 = _mm3(thp_hi, thp_lo, v_hi, v_lo)
+                a1_hi, a1_lo = _split(a1)
+                a2_hi, a2_lo = _split(a2)
+                return _mm3(a1_hi, a1_lo, cw_hi, cw_lo) + _mm3(
+                    a2_hi, a2_lo, sw_hi, sw_lo
+                )
+
+    return xform
 
 
-def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0):
+def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int = 4):
     """iso_mode: None (anisotropic soft shrinkage), 'joint' (corrected
     isotropic TV — pointwise (zx, zy) block norm), or 'sample' (channel-
     coupled isotropic norm — blocks carry all ``g`` channels of a sample).
@@ -108,24 +139,16 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0):
     bf16 x-update matmuls and only the remainder with the bf16x3 split —
     inexact ADMM: early x-update roundoff is contracted away by the later
     exact iterations (Eckstein & Bertsekas 1992, summable-error condition
-    holds since the error stops after fast_iters)."""
+    holds since the error stops after fast_iters).
 
-    def kernel(
-        rho_ref,
-        tau_ref,
-        hty_ref,
-        freq_ref,
-        th_hi_ref,
-        th_lo_ref,
-        tw_hi_ref,
-        tw_lo_ref,
-        x_ref,
-        s_scr,
-        ux_scr,
-        uy_scr,
-        y_scr,
-        t_scr,
-    ):
+    ``n_mats``: 4 (symmetric cas-cas path) or 8 (general-PSF Hartley-pair
+    path, see :func:`_make_xform`)."""
+
+    def kernel(*refs):
+        rho_ref, tau_ref, hty_ref, freq_ref = refs[:4]
+        mat_refs = refs[4 : 4 + n_mats]
+        x_ref = refs[4 + n_mats]
+        s_scr, ux_scr, uy_scr, y_scr, t_scr = refs[5 + n_mats :]
         rho = rho_ref[0, 0]
         tau = tau_ref[0, 0]
         h = hty_ref.shape[-2]
@@ -141,17 +164,16 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0):
         uy_scr[...] = jnp.zeros_like(hty)
         t_scr[...] = jnp.zeros_like(hty)
 
-        th_hi, th_lo = th_hi_ref[...], th_lo_ref[...]
-        tw_hi, tw_lo = tw_hi_ref[...], tw_lo_ref[...]
+        mats = tuple(m[...] for m in mat_refs)
         freq = freq_ref[...]
 
-        def body_with(lstage, rstage):
+        def body_with(xform):
             def body(_, carry):
-                # ---- x-update: separable Hartley diagonal solve (MXU) ----
+                # ---- x-update: spectral diagonal solve (MXU) ----
                 # static unroll over the g channels of the block
                 for i in range(g):
-                    y_scr[i] = rstage(lstage(s_scr[i])) * freq
-                    t_scr[i] = rstage(lstage(y_scr[i])) * inv_hw
+                    y_scr[i] = xform(s_scr[i]) * freq
+                    t_scr[i] = xform(y_scr[i]) * inv_hw
                 x = t_scr[...]  # (g, H, W) — the fresh primal
 
                 # ---- fused elementwise chain (VPU, all in VMEM) ----
@@ -189,22 +211,32 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0):
             return body
 
         if fast_iters > 0:
-            lf, rf = _make_stages(th_hi, th_lo, tw_hi, tw_lo, fast=True)
-            jax.lax.fori_loop(0, fast_iters, body_with(lf, rf), 0)
-        lp, rp = _make_stages(th_hi, th_lo, tw_hi, tw_lo, fast=False)
-        jax.lax.fori_loop(0, maxit - fast_iters, body_with(lp, rp), 0)
+            jax.lax.fori_loop(0, fast_iters, body_with(_make_xform(mats, fast=True)), 0)
+        jax.lax.fori_loop(
+            0, maxit - fast_iters, body_with(_make_xform(mats, fast=False)), 0
+        )
         x_ref[0] = t_scr[...]
 
     return kernel
 
 
-def _block_ok(h: int, w: int, g: int) -> bool:
+def _psf_is_general(kern) -> bool:
+    """True when the PSF needs the Hartley-pair (8-matmul) x-update; False
+    when the symmetric cas-cas (4-matmul) path is valid."""
+    from torch_admm_deconv_tpu.ops.mxu_fft import psf_is_axis_symmetric
+
+    return not psf_is_axis_symmetric(kern)
+
+
+def _block_ok(h: int, w: int, g: int, general: bool = False) -> bool:
     if h % 8 != 0 or w % 128 != 0:
         return False
     plane = h * w * 4
-    mats = 2 * 2 * (h * h + w * w)  # 4 bf16 cas matrices
-    # hty + out + 5 scratch + ~3 live temporaries, all (g, H, W), + freq
-    return mats + (10 * g + 1) * plane <= _VMEM_BUDGET_BYTES
+    # 4 bf16 cas matrices, or 8 on the general-PSF Hartley-pair path
+    mats = (4 if general else 2) * 2 * (h * h + w * w)
+    # hty + out + 5 scratch + ~3 live temporaries (one more on the general
+    # path: the second left-transform product), all (g, H, W), + freq
+    return mats + ((11 if general else 10) * g + 1) * plane <= _VMEM_BUDGET_BYTES
 
 
 def _block_channels(shape, iso: bool, iso_mode: str) -> int:
@@ -215,22 +247,26 @@ def vmem_solve_available(shape, dtype, kern, iso: bool, iso_mode: str) -> bool:
     """True when the whole-solve VMEM kernel supports this configuration:
     f32 NCHW, tile-aligned block that fits the VMEM budget, per-block
     shrinkage (aniso, corrected 'joint' iso, or channel-coupled 'sample'
-    iso), and a per-axis-even x-update spectrum (no/symmetric PSF — the
-    Hartley validity condition). The batch-coupled 'compat' iso mode needs a
-    cross-program reduction and stays on the scan path."""
+    iso), and a CONCRETE PSF (or none). Symmetric PSFs ride the 4-matmul
+    cas-cas x-update; arbitrary PSFs the 8-matmul Hartley-pair (round 3 —
+    previously asymmetric PSFs fell to the scan path; the reference solver
+    handles any PSF uniformly, deconv.py:49). Traced (learnable) kernels
+    stay on the differentiable scan path. The batch-coupled 'compat' iso
+    mode needs a cross-program reduction and stays on the scan path too."""
     if dtype != jnp.float32 or len(shape) != 4:
         return False
     if iso and iso_mode not in ("joint", "sample"):
         return False
-    from torch_admm_deconv_tpu.ops.mxu_fft import psf_is_axis_symmetric
-
     concrete = kern is None or hasattr(kern, "__array__")
-    try:
-        if not (concrete and psf_is_axis_symmetric(kern)):
-            return False
-    except Exception:  # traced (learnable) kernel: symmetry unknown
+    if not concrete:
         return False
-    return _block_ok(shape[-2], shape[-1], _block_channels(shape, iso, iso_mode))
+    try:
+        general = _psf_is_general(kern)
+    except Exception:  # traced kernel slipped through: symmetry unknown
+        return False
+    return _block_ok(
+        shape[-2], shape[-1], _block_channels(shape, iso, iso_mode), general
+    )
 
 
 def _make_adaptive_kernel(
@@ -243,6 +279,7 @@ def _make_adaptive_kernel(
     fast_switch: float = 0.0,
     fast_cap: int = 0,
     return_state: bool = False,
+    n_mats: int = 4,
 ):
     """Residual-stopped, adaptive-rho variant. Stopping and rho adaptation
     are PER BLOCK (per plane, or per sample in 'sample' mode) — each block
@@ -260,15 +297,16 @@ def _make_adaptive_kernel(
     sits above ``fast_switch``."""
 
     def kernel(*refs):
-        (lmbd_ref, rho0_ref, hty_ref, habs2_ref, d2_ref,
-         th_hi_ref, th_lo_ref, tw_hi_ref, tw_lo_ref) = refs[:9]
+        lmbd_ref, rho0_ref, hty_ref, habs2_ref, d2_ref = refs[:5]
+        mat_refs = refs[5 : 5 + n_mats]
+        rest = refs[5 + n_mats :]
         if return_state:
-            x_ref, zxo_ref, zyo_ref, uxo_ref, uyo_ref = refs[9:14]
-            iters_ref, r_ref, sres_ref, rhof_ref = refs[14:18]
-            scratch = refs[18:]
+            x_ref, zxo_ref, zyo_ref, uxo_ref, uyo_ref = rest[:5]
+            iters_ref, r_ref, sres_ref, rhof_ref = rest[5:9]
+            scratch = rest[9:]
         else:
-            x_ref, iters_ref, r_ref, sres_ref, rhof_ref = refs[9:14]
-            scratch = refs[14:]
+            x_ref, iters_ref, r_ref, sres_ref, rhof_ref = rest[:5]
+            scratch = rest[5:]
         s_scr, ux_scr, uy_scr, zx_scr, zy_scr, y_scr, t_scr = scratch
         lmbd = lmbd_ref[0, 0]
         rho0 = rho0_ref[0, 0]
@@ -284,20 +322,19 @@ def _make_adaptive_kernel(
         zy_scr[...] = jnp.zeros_like(hty)
         t_scr[...] = jnp.zeros_like(hty)
 
-        th_hi, th_lo = th_hi_ref[...], th_lo_ref[...]
-        tw_hi, tw_lo = tw_hi_ref[...], tw_lo_ref[...]
+        mats = tuple(m[...] for m in mat_refs)
         habs2 = habs2_ref[...]
         d2 = d2_ref[...]
         scale = jnp.sqrt(jnp.float32(2 * g * h * w))
 
-        def body_with(lstage, rstage):
+        def body_with(xform):
             def body(carry):
                 k, _, _, rho = carry
                 freq = 1.0 / (habs2 + rho * d2)
                 tau = lmbd / rho
                 for i in range(g):
-                    y_scr[i] = rstage(lstage(s_scr[i])) * freq
-                    t_scr[i] = rstage(lstage(y_scr[i])) * inv_hw
+                    y_scr[i] = xform(s_scr[i]) * freq
+                    t_scr[i] = xform(y_scr[i]) * inv_hw
                 x = t_scr[...]
                 dx = x - pltpu.roll(x, 1, axis=2)
                 dyv = x - pltpu.roll(x, 1, axis=1)
@@ -333,12 +370,20 @@ def _make_adaptive_kernel(
                 )
                 sd = jnp.sqrt(jnp.sum(sdual * sdual)) / scale
 
-                # residual balancing (Boyd SS3.4.1) + inverse dual rescale
-                grow = r > rho_mu * sd
-                shrink = sd > rho_mu * r
-                factor = jnp.where(
-                    grow, rho_scale, jnp.where(shrink, 1.0 / rho_scale, 1.0)
-                )
+                # residual balancing (Boyd SS3.4.1) + inverse dual rescale.
+                # rho_mu is a static Python float; >= 1e29 means "adaptation
+                # disabled" and must branch in PYTHON — the runtime inequality
+                # r > 1e30*sd still fires when sd == 0 (bitwise-stalled z),
+                # which would rescale rho/duals at a point the implicit VJP
+                # then wrongly linearizes around (ADVICE r2 finding 1).
+                if rho_mu >= 1e29:
+                    factor = jnp.float32(1.0)
+                else:
+                    grow = r > rho_mu * sd
+                    shrink = sd > rho_mu * r
+                    factor = jnp.where(
+                        grow, rho_scale, jnp.where(shrink, 1.0 / rho_scale, 1.0)
+                    )
                 rho_new = rho * factor
                 inv_f = 1.0 / factor
 
@@ -370,8 +415,9 @@ def _make_adaptive_kernel(
                     jnp.logical_or(r > fast_switch, sd > fast_switch),
                 )
 
-            lf, rf = _make_stages(th_hi, th_lo, tw_hi, tw_lo, fast=True)
-            carry = jax.lax.while_loop(fast_cond, body_with(lf, rf), carry)
+            carry = jax.lax.while_loop(
+                fast_cond, body_with(_make_xform(mats, fast=True)), carry
+            )
             # fast-phase residuals carry bf16 measurement noise — force at
             # least one bf16x3 iteration so the exit test is trustworthy
             k0, _, _, rho_c = carry
@@ -381,8 +427,9 @@ def _make_adaptive_kernel(
             k, r, sd, _ = c
             return jnp.logical_and(k < maxit, jnp.logical_or(r > tol, sd > tol))
 
-        lp, rp = _make_stages(th_hi, th_lo, tw_hi, tw_lo, fast=False)
-        k, r, sd, rho = jax.lax.while_loop(cond, body_with(lp, rp), carry)
+        k, r, sd, rho = jax.lax.while_loop(
+            cond, body_with(_make_xform(mats, fast=False)), carry
+        )
         x_ref[0] = t_scr[...]
         if return_state:
             # full ADMM state at exit, for the implicit-VJP fixed-point
@@ -410,24 +457,34 @@ def adaptive_vmem_available(
         return False
     g = _block_channels(shape, iso, iso_mode)
     h, w = shape[-2], shape[-1]
-    planes = (16 if return_state else 12) * g + 2
-    return planes * h * w * 4 + 4 * (h * h + w * w) <= _VMEM_BUDGET_BYTES
+    general = _psf_is_general(kern)
+    planes = (16 if return_state else 12) * g + 2 + (1 if general else 0)
+    mats = (8 if general else 4) * (h * h + w * w)
+    return planes * h * w * 4 + mats <= _VMEM_BUDGET_BYTES
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "iso",
-        "maxit",
-        "iso_mode",
-        "tol",
-        "rho_mu",
-        "rho_scale",
-        "precision",
-        "fast_switch",
-        "return_state",
-    ),
-)
+def _split_mats(h: int, w: int, general: bool):
+    """Host-side transform matrices as (hi, lo) bf16 split pairs, plus their
+    BlockSpec row/col shapes (for pallas in_specs)."""
+    from torch_admm_deconv_tpu.ops.mxu_fft import cas_mats, cas_pair_mats
+
+    if general:
+        th, thp, cw, sw = cas_pair_mats(h, w)
+        raw = (th, thp, cw, sw)
+        shapes = [(h, h), (h, h), (w, w), (w, w)]
+    else:
+        th, tw = cas_mats(h, w)
+        raw = (th, tw)
+        shapes = [(h, h), (w, w)]
+    mats = []
+    mat_shapes = []
+    for m, shp in zip(raw, shapes):
+        hi, lo = _split(m)
+        mats += [hi, lo]
+        mat_shapes += [shp, shp]
+    return tuple(mats), mat_shapes
+
+
 def admm_tv_adaptive_vmem(
     xin: jnp.ndarray,
     lmbd,
@@ -464,8 +521,60 @@ def admm_tv_adaptive_vmem(
     u_y))`` — the full ADMM state at exit, for fixed-point (implicit)
     differentiation.
     """
+    # the symmetric-vs-general x-update choice needs a CONCRETE kernel, so
+    # it is made eagerly, outside the jitted implementation
+    return _admm_tv_adaptive_vmem_impl(
+        xin,
+        lmbd,
+        rho,
+        kern,
+        iso,
+        maxit,
+        tol=tol,
+        iso_mode=iso_mode,
+        rho_mu=rho_mu,
+        rho_scale=rho_scale,
+        precision=precision,
+        fast_switch=fast_switch,
+        return_state=return_state,
+        general=_psf_is_general(kern),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "iso",
+        "maxit",
+        "iso_mode",
+        "tol",
+        "rho_mu",
+        "rho_scale",
+        "precision",
+        "fast_switch",
+        "return_state",
+        "general",
+    ),
+)
+def _admm_tv_adaptive_vmem_impl(
+    xin: jnp.ndarray,
+    lmbd,
+    rho,
+    kern=None,
+    iso: bool = False,
+    maxit: int = 500,
+    *,
+    tol: float = 1e-4,
+    iso_mode: str = "sample",
+    rho_mu: float = 10.0,
+    rho_scale: float = 2.0,
+    precision: str = "mixed",
+    fast_switch: float | None = None,
+    return_state: bool = False,
+    general: bool = False,
+):
     from torch_admm_deconv_tpu.ops import fdops
-    from torch_admm_deconv_tpu.ops.mxu_fft import cas_mats, mirror_freq_full
+    from torch_admm_deconv_tpu.ops.mxu_fft import mirror_freq_full_joint
     from torch_admm_deconv_tpu.ops.solver import AdaptiveResult, _htran
 
     b, c, h, w = xin.shape
@@ -479,12 +588,12 @@ def admm_tv_adaptive_vmem(
     else:
         otf = fdops.psf_otf(kern.astype(dtype), (h, w))
         habs2 = (otf.real**2 + otf.imag**2).reshape(h, w // 2 + 1)
-    habs2_full = mirror_freq_full(habs2, w)
-    d2_full = mirror_freq_full(jnp.broadcast_to(d2, (h, w // 2 + 1)), w)
+    # the conjugate (joint) mirror is exact for any real PSF and coincides
+    # with the per-axis mirror for symmetric ones
+    habs2_full = mirror_freq_full_joint(habs2, w)
+    d2_full = mirror_freq_full_joint(jnp.broadcast_to(d2, (h, w // 2 + 1)), w)
 
-    th, tw = cas_mats(h, w)
-    th_hi, th_lo = _split(th)
-    tw_hi, tw_lo = _split(tw)
+    mats, mat_shapes = _split_mats(h, w, general)
 
     g = _block_channels(xin.shape, iso, iso_mode)
     n_blocks = (b * c) // g
@@ -501,10 +610,11 @@ def admm_tv_adaptive_vmem(
 
     mode = iso_mode if iso else None
     # +4g planes of output-DMA window when the exit state is also written
-    planes_resident = (16 if return_state else 12) * g + 2
+    planes_resident = (16 if return_state else 12) * g + 2 + (1 if general else 0)
+    mats_bytes = (8 if general else 4) * (h * h + w * w)
     vmem_limit = min(
         128 * 1024 * 1024,
-        int((planes_resident * h * w * 4 + 4 * (h * h + w * w)) * 1.25) + 16 * 1024 * 1024,
+        int((planes_resident * h * w * 4 + mats_bytes) * 1.25) + 16 * 1024 * 1024,
     )
     if precision == "mixed":
         switch = float(fast_switch) if fast_switch is not None else max(20.0 * tol, 1e-2)
@@ -528,6 +638,7 @@ def admm_tv_adaptive_vmem(
             fast_switch=switch,
             fast_cap=fast_cap,
             return_state=return_state,
+            n_mats=len(mats),
         ),
         grid=(n_blocks,),
         in_specs=[
@@ -536,11 +647,8 @@ def admm_tv_adaptive_vmem(
             block,
             full2d(h, w),
             full2d(h, w),
-            full2d(h, h),
-            full2d(h, h),
-            full2d(w, w),
-            full2d(w, w),
-        ],
+        ]
+        + [full2d(*shp) for shp in mat_shapes],
         out_specs=[block] * n_state + [sout] * 4,
         out_shape=[plane_out] * n_state + [scalar_out] * 4,
         scratch_shapes=[pltpu.VMEM((g, h, w), jnp.float32)] * 7,
@@ -552,10 +660,7 @@ def admm_tv_adaptive_vmem(
         hty,
         habs2_full,
         d2_full,
-        th_hi,
-        th_lo,
-        tw_hi,
-        tw_lo,
+        *mats,
     )
     planes, (iters, r, sd, rho_f) = outs[:n_state], outs[n_state:]
     result = AdaptiveResult(
@@ -571,7 +676,6 @@ def admm_tv_adaptive_vmem(
     return result
 
 
-@partial(jax.jit, static_argnames=("iso", "maxit", "iso_mode", "precision"))
 def admm_tv_vmem(
     xin: jnp.ndarray,
     lmbd,
@@ -593,8 +697,30 @@ def admm_tv_vmem(
     quarter the bf16x3 split. The fixed point is unchanged — early roundoff
     is contracted away by the exact tail — but intermediate iterates differ
     from the scan path, so it is NOT the default (parity)."""
+    # symmetric-vs-general decision needs a concrete kernel: made eagerly
+    return _admm_tv_vmem_impl(
+        xin, lmbd, rho, kern, iso, maxit,
+        iso_mode=iso_mode, precision=precision, general=_psf_is_general(kern),
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("iso", "maxit", "iso_mode", "precision", "general")
+)
+def _admm_tv_vmem_impl(
+    xin: jnp.ndarray,
+    lmbd,
+    rho,
+    kern=None,
+    iso: bool = False,
+    maxit: int = 100,
+    *,
+    iso_mode: str = "joint",
+    precision: str = "high",
+    general: bool = False,
+) -> jnp.ndarray:
     from torch_admm_deconv_tpu.ops import fdops
-    from torch_admm_deconv_tpu.ops.mxu_fft import cas_mats, mirror_freq_full
+    from torch_admm_deconv_tpu.ops.mxu_fft import mirror_freq_full_joint
     from torch_admm_deconv_tpu.ops.solver import _htran
 
     b, c, h, w = xin.shape
@@ -604,10 +730,8 @@ def admm_tv_vmem(
     tau = lmbd / rho
 
     freq_c = fdops.freq_denominator((h, w), rho, kern, dtype)
-    freq_full = mirror_freq_full(jnp.broadcast_to(freq_c, (h, w // 2 + 1)), w)
-    th, tw = cas_mats(h, w)
-    th_hi, th_lo = _split(th)
-    tw_hi, tw_lo = _split(tw)
+    freq_full = mirror_freq_full_joint(jnp.broadcast_to(freq_c, (h, w // 2 + 1)), w)
+    mats, mat_shapes = _split_mats(h, w, general)
 
     g = _block_channels(xin.shape, iso, iso_mode)
     n_blocks = (b * c) // g
@@ -620,9 +744,11 @@ def admm_tv_vmem(
     sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     mode = iso_mode if iso else None
+    mats_bytes = (8 if general else 4) * (h * h + w * w)
+    planes_resident = (10 if general else 10) * g + 1 + (1 if general else 0)
     vmem_limit = min(
         128 * 1024 * 1024,
-        int(((10 * g + 1) * h * w * 4 + 4 * (h * h + w * w)) * 1.25) + 16 * 1024 * 1024,
+        int((planes_resident * h * w * 4 + mats_bytes) * 1.25) + 16 * 1024 * 1024,
     )
     if precision == "mixed":
         fast_iters = (3 * maxit) // 4
@@ -631,18 +757,15 @@ def admm_tv_vmem(
     else:
         raise ValueError(f"precision must be 'mixed' or 'high', got {precision!r}")
     out = pl.pallas_call(
-        _make_kernel(maxit, mode, g, fast_iters=fast_iters),
+        _make_kernel(maxit, mode, g, fast_iters=fast_iters, n_mats=len(mats)),
         grid=(n_blocks,),
         in_specs=[
             sspec,
             sspec,
             block,
             full2d(h, w),
-            full2d(h, h),
-            full2d(h, h),
-            full2d(w, w),
-            full2d(w, w),
-        ],
+        ]
+        + [full2d(*shp) for shp in mat_shapes],
         out_specs=block,
         out_shape=jax.ShapeDtypeStruct((n_blocks, g, h, w), dtype),
         scratch_shapes=[pltpu.VMEM((g, h, w), jnp.float32)] * 5,
@@ -653,9 +776,6 @@ def admm_tv_vmem(
         tau.reshape(1, 1),
         hty,
         freq_full,
-        th_hi,
-        th_lo,
-        tw_hi,
-        tw_lo,
+        *mats,
     )
     return out.reshape(b, c, h, w)

@@ -117,7 +117,8 @@ def _solve_full_state(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode):
     return (x, z_x, z_y, u_x, u_y)
 
 
-def _solve_state_dispatch(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode):
+def _solve_state_dispatch(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode,
+                          precision="high"):
     """Fastest available residual-stopped fixed-rho solve returning the full
     (x, z_x, z_y, u_x, u_y) state.
 
@@ -150,23 +151,32 @@ def _solve_state_dispatch(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode):
             iso_mode=iso_mode,
             rho_mu=1e30,  # residual balancing off: fixed-rho fixed point
             return_state=True,
+            # full-f32 x-updates by default: the implicit VJP linearizes at
+            # the returned state, and a user tol below the bf16x3 noise
+            # floor must still be reachable (ADVICE r2 finding 4). Callers
+            # that accept the inexact-ADMM schedule pass precision='mixed'.
+            precision=precision,
         )
         return state
     return _solve_full_state(xin, lmbd, rho, kern_arr, iso, maxit, tol, iso_mode)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _implicit(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode, backward_iters):
-    v = _solve_state_dispatch(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode)
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _implicit(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode, backward_iters,
+              precision):
+    v = _solve_state_dispatch(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode,
+                              precision)
     return v[0]
 
 
-def _implicit_fwd(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode, backward_iters):
-    v = _solve_state_dispatch(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode)
+def _implicit_fwd(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode, backward_iters,
+                  precision):
+    v = _solve_state_dispatch(xin, lmbd, rho, kern, iso, maxit, tol, iso_mode,
+                              precision)
     return v[0], (v, (xin, lmbd, rho, kern))
 
 
-def _implicit_bwd(iso, maxit, tol, iso_mode, backward_iters, res, g):
+def _implicit_bwd(iso, maxit, tol, iso_mode, backward_iters, precision, res, g):
     v_star, theta = res
     im_shape = theta[0].shape[-2:]
 
@@ -191,7 +201,7 @@ _implicit.defvjp(_implicit_fwd, _implicit_bwd)
 
 @partial(
     jax.jit,
-    static_argnames=("iso", "maxit", "tol", "iso_mode", "backward_iters"),
+    static_argnames=("iso", "maxit", "tol", "iso_mode", "backward_iters", "precision"),
 )
 def admm_tv_implicit(
     xin: jnp.ndarray,
@@ -204,6 +214,7 @@ def admm_tv_implicit(
     tol: float = 1e-8,
     iso_mode: str = "sample",
     backward_iters: int = 50,
+    precision: str = "high",
 ) -> jnp.ndarray:
     """TV-ADMM with implicit (fixed-point) gradients.
 
@@ -233,7 +244,8 @@ def admm_tv_implicit(
     if kern is None:
         kern = jnp.zeros((1, 1, 0, 0), dtype)
     out = _implicit(
-        xin, lmbd, rho, kern, iso, maxit, float(tol), iso_mode, int(backward_iters)
+        xin, lmbd, rho, kern, iso, maxit, float(tol), iso_mode,
+        int(backward_iters), precision,
     )
     for _ in range(squeeze):
         out = out[0]

@@ -170,6 +170,66 @@ def mirror_freq_full(freq_c: jnp.ndarray, w: int) -> jnp.ndarray:
     return jnp.concatenate([freq_c[:, : w // 2 + 1], body[:, ::-1]], axis=-1)
 
 
+def mirror_freq_full_joint(freq_c: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(H, Wf) rfft-grid spectrum -> full (H, W) grid by the CONJUGATE
+    mirror full[k1, W-k2] = half[(H-k1) % H, k2]. Valid for any real
+    spectrum of a real operator (|H_hat|^2, freq_c with arbitrary PSF) —
+    jointly even under k -> -k but not necessarily even per axis. For
+    per-axis-even spectra it coincides with :func:`mirror_freq_full`."""
+    body = freq_c[:, 1 : (w + 1) // 2]
+    mirrored = jnp.roll(body[::-1, ::-1], 1, axis=0)
+    return jnp.concatenate([freq_c[:, : w // 2 + 1], mirrored], axis=-1)
+
+
+# -- Hartley-pair (general real PSF) path -----------------------------------
+#
+# The separable cas-cas transform above diagonalizes per-axis-even spectra
+# only. For an ARBITRARY real PSF the x-update spectrum freq_c is still real
+# and JOINTLY even (freq_c(-k) = freq_c(k), from hermitian symmetry of the
+# OTF), and the TRUE 2-D Hartley transform diagonalizes every such operator:
+#   y = DHT2( freq . DHT2(s) ) / (H*W).
+# DHT2 factors into FOUR matmuls using the cas pair (cas(a+b) expansion):
+#   DHT2(v) = (T_h v) C_w + (T_h' v) S_w
+# with T_h' [k] = T_h[(H-k) % H] (a row permutation, precomputed) and
+# C_w/S_w the plain cos/sin matrices — 8 matmuls per x-update instead of the
+# symmetric path's 4, still all on the MXU. Verified against
+# irfft2(freq * rfft2(s)) in tests/test_mxu_fft.py.
+
+
+@lru_cache(maxsize=32)
+def _cas_pair_mats_np(h: int, w: int):
+    th, _ = _cas_mats_np(h, w)
+    thp = np.roll(th[::-1], 1, axis=0)  # thp[k] = th[(h - k) % h]
+    n_w = np.arange(w)
+    ang_w = 2.0 * np.pi * np.outer(n_w, n_w) / w
+    cw = np.cos(ang_w).astype(np.float32)
+    sw = np.sin(ang_w).astype(np.float32)
+    return thp.astype(np.float32), cw, sw
+
+
+def cas_pair_mats(h: int, w: int):
+    """(T_h, T_h', C_w, S_w) for the general-PSF Hartley-pair transform."""
+    th, _ = _cas_mats_np(h, w)
+    thp, cw, sw = _cas_pair_mats_np(h, w)
+    return jnp.asarray(th), jnp.asarray(thp), jnp.asarray(cw), jnp.asarray(sw)
+
+
+def freq_solve_dht_general(s: jnp.ndarray, freq_full: jnp.ndarray, mats=None) -> jnp.ndarray:
+    """x-update via the true 2-D Hartley transform — valid for ANY real PSF.
+    ``freq_full`` is the full (H, W) jointly-even spectrum
+    (:func:`mirror_freq_full_joint`)."""
+    h, w = s.shape[-2], s.shape[-1]
+    th, thp, cw, sw = mats if mats is not None else cas_pair_mats(h, w)
+
+    def lstage(v, mat):
+        return jnp.swapaxes(_mm(jnp.swapaxes(v, -2, -1), mat), -2, -1)
+
+    def dht2(v):
+        return _mm(lstage(v, th), cw) + _mm(lstage(v, thp), sw)
+
+    return dht2(freq_full * dht2(s)) / (h * w)
+
+
 def freq_solve_dht(s: jnp.ndarray, freq_full: jnp.ndarray, mats=None) -> jnp.ndarray:
     """x-update via the separable Hartley transform. ``freq_full`` is the
     full (H, W) per-axis-even spectrum (see :func:`mirror_freq_full`).
