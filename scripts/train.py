@@ -21,7 +21,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def init_training(config_file, min_std, max_std, save_dir, model_name, device, model_ckpt=None):
+def init_training(config_file, min_std, max_std, save_dir, model_name, device, model_ckpt=None,
+                  aot_only=False, resume_ckpt=None):
     import jax
 
     if device and device != "tpu":
@@ -116,6 +117,8 @@ def init_training(config_file, min_std, max_std, save_dir, model_name, device, m
         lr_scheduler=lr_scheduler,
         base_lr=lr,
         init_params=init_params,
+        resume_ckpt=resume_ckpt,
+        compile_only=aot_only,
     )
 
 
@@ -130,9 +133,16 @@ def main():
     parser.add_argument("--model_name", "-n", type=str, default="image_restorer",
                         help="Name of the training model")
     parser.add_argument("--device", "-d", type=str, default="tpu", help="Training device (tpu | cpu)")
+    parser.add_argument("--aot", action="store_true",
+                        help="Lower+compile the train/eval steps against the "
+                             "persistent compilation cache, then exit (warm-"
+                             "cache precompile for a later training run)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Checkpoint .tar to resume full state from")
     args = parser.parse_args()
     init_training(args.config_file, args.min_awgn, args.max_awgn, args.save_dir,
-                  args.model_name, args.device)
+                  args.model_name, args.device, aot_only=args.aot,
+                  resume_ckpt=args.resume)
 
 
 if __name__ == "__main__":

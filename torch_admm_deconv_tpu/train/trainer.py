@@ -176,6 +176,7 @@ class NNTrainer:
         seed: int = 0,
         init_params=None,
         resume_ckpt: Optional[str] = None,
+        compile_only: bool = False,
     ):
         first_x, _ = next(iter(train_dataloader))
         start_epoch = 0
@@ -203,6 +204,37 @@ class NNTrainer:
             start_epoch = int(ckpt["epoch"]) + 1
         self._base_lr = base_lr
         self._train_step, self._eval_step = self._build_steps(model, tx)
+
+        if compile_only:
+            # AOT precompile: lower+compile the exact train/eval steps this
+            # trainer would run, against the persistent compilation cache,
+            # so a later training process starts on a warm cache
+            # (scripts/train.py --aot / scripts/aot_compile.py). Identical
+            # code path => identical cache keys.
+            import time as _time
+
+            x = jnp.asarray(first_x)
+            y = jnp.asarray(first_x)
+            acc = self._fresh_acc()
+            for name, fn, args in (
+                ("train_step", self._train_step,
+                 (self.params, self.opt_state, x, y, self._base_lr, acc)),
+                ("eval_step", self._eval_step, (self.params, x, y, acc)),
+            ):
+                t0 = _time.perf_counter()
+                compiled = fn.lower(*args).compile()
+                try:
+                    cost = compiled.cost_analysis()
+                    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+                    flops = f"{cost.get('flops', 0):.3e}"
+                except Exception:
+                    flops = "n/a"
+                print(
+                    f"[aot] {name} compiled in {_time.perf_counter()-t0:.1f}s "
+                    f"(flops={flops})",
+                    flush=True,
+                )
+            return self.params
 
         self.get_model_params(self.params)
         for epoch in range(start_epoch, epochs):
