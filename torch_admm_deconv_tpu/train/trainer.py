@@ -300,7 +300,10 @@ class NNTrainer:
         total = 0
         print(f"{'Modules':60s} | Parameters")
         for path, leaf in flat:
-            n = int(np.prod(np.asarray(leaf).shape)) if hasattr(leaf, "shape") else 1
+            # leaf.shape, NOT np.asarray(leaf).shape: the latter fetches the
+            # whole array over the device tunnel just to read its shape
+            # (~700 params x ~1s/fetch on this platform)
+            n = int(np.prod(leaf.shape)) if hasattr(leaf, "shape") else 1
             name = "/".join(str(getattr(p, "key", p)) for p in path)
             print(f"{name:60s} | {n}")
             total += n
