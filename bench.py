@@ -121,7 +121,8 @@ def bench_config1(batch=8, size=512, maxit=200, psf_size=9):
             v, 0.002, 0.5, kern, iso=False, maxit=m, use_pallas=True, precision="mixed"
         )
 
-    res = robust_iter_timing(solver_of_maxit, x, m_small=maxit, m_big=5 * maxit, reps=9)
+    res = robust_iter_timing(solver_of_maxit, x, m_small=maxit, m_big=5 * maxit,
+                             reps=9, on_unreliable="flag")
     return x, kern, res
 
 
@@ -175,8 +176,10 @@ def bench_config2(size=512, half=32, maxit=200, psf_size=9):
             v, 0.002, 0.5, km, iso=False, maxit=m, use_pallas=True, precision="mixed"
         )
 
-    rg = robust_iter_timing(gaussian_of_maxit, xg, m_small=maxit, m_big=3 * maxit, reps=7)
-    rm = robust_iter_timing(motion_of_maxit, xm, m_small=maxit, m_big=3 * maxit, reps=7)
+    rg = robust_iter_timing(gaussian_of_maxit, xg, m_small=maxit, m_big=3 * maxit,
+                            reps=7, on_unreliable="flag")
+    rm = robust_iter_timing(motion_of_maxit, xm, m_small=maxit, m_big=3 * maxit,
+                            reps=7, on_unreliable="flag")
     return rg, rm
 
 
@@ -323,6 +326,7 @@ def main():
                 "rel_spread": round(t1.rel_spread, 4),
                 "timing_contended": bool(t1.contended or rg.contended or rm.contended),
                 "timing_fallback": bool(t1.fallback or rg.fallback or rm.fallback),
+                "timing_unreliable": bool(t1.unreliable or rg.unreliable or rm.unreliable),
                 "mfu": round(mfu, 4),
                 "mxu_fraction_executed": round(mxu_fraction, 4),
                 "fixed_solve_ms": round(solve_ms, 2),

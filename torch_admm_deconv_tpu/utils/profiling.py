@@ -104,6 +104,7 @@ class TimingResult:
     overhead: float
     contended: bool = False
     fallback: bool = False
+    unreliable: bool = False
     samples: List[float] = field(default_factory=list)
     calibration_ms: List[float] = field(default_factory=list)
 
@@ -116,6 +117,7 @@ def robust_iter_timing(
     reps: int = 9,
     max_rel_spread: float = 0.25,
     calibrate: Optional[Callable] = None,
+    on_unreliable: str = "raise",
 ) -> TimingResult:
     """Per-iteration time of a solver loop body, robust to tunnel noise.
 
@@ -189,13 +191,22 @@ def robust_iter_timing(
         fallback = True
 
     rel_spread = half_iqr / med if med > 0 else float("inf")
-    if rel_spread > max_rel_spread:
-        raise RuntimeError(
+    unreliable = rel_spread > max_rel_spread
+    if unreliable:
+        msg = (
             f"timing spread {rel_spread:.1%} exceeds {max_rel_spread:.0%} "
             f"(median {med*1e3:.3f} ms/iter, {len(pairs)} interleaved pairs, "
             f"calibration {['%.1f' % c for c in cal]} ms) — measurement "
             "unreliable; rerun when the device is quiet"
         )
+        if on_unreliable == "raise":
+            raise RuntimeError(msg)
+        # 'flag' mode: callers that must always produce a result (the
+        # driver-run bench) get the number with unreliable=True and the
+        # warning on stderr — loud, but never silent and never fatal
+        import sys as _sys
+
+        print(f"WARNING: {msg}", file=_sys.stderr, flush=True)
     t_smalls = [ts for ts, _ in pairs]
     overhead = max(float(np.median(t_smalls)) - m_small * med, 0.0)
     return TimingResult(
@@ -204,6 +215,7 @@ def robust_iter_timing(
         overhead=overhead,
         contended=contended,
         fallback=fallback,
+        unreliable=unreliable,
         samples=diffs,
         calibration_ms=cal,
     )
