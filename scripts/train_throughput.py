@@ -1,0 +1,127 @@
+"""Measure the flagship TRAIN-STEP throughput on the TPU (VERDICT r2
+missing #4: iterations/s for the train step — the workload that matters for
+the unrolled model — was never measured), riding the persistent compile
+cache a previous training/AOT process populated (VERDICT r2 task 6: show
+the cached compile being reused across processes).
+
+Builds the EXACT train step `scripts/train.py` runs (same model, loss,
+metrics, optimizer, accumulator — identical jaxpr => identical cache key),
+reports the compile wall time (seconds on a warm cache vs ~50 min cold:
+the cache-reuse proof), then times N steps on one real data batch with the
+tunnel-safe methodology (time around host fetches; steps chained on device
+between fetches so per-step dispatch overhead is amortized and measured).
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/train_throughput.py \
+           [--steps 20] [--reps 3] [--out benchmarks/train_throughput_r3.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config_file", "-c", default="configs/train_local.json")
+    ap.add_argument("--min_awgn", type=int, default=10)
+    ap.add_argument("--max_awgn", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="benchmarks/train_throughput_r3.md")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from torch_admm_deconv_tpu.data import AddAWGN, DataLoader, ImageDataset, RandCrop, Scale
+    from torch_admm_deconv_tpu.metrics import (
+        MAELoss, PSNRMetric, SCCMetric, SSIMLabColorLoss, SSIMMetric, UIQMetric,
+    )
+    from torch_admm_deconv_tpu.models.denoiser import flagship_divergent_restorer
+    from torch_admm_deconv_tpu.train import NNTrainer, make_optimizer
+
+    cfg = json.load(open(args.config_file))
+    transforms = [RandCrop(tuple(cfg["im_shape"])), Scale(),
+                  AddAWGN(std_range=(args.min_awgn, args.max_awgn), both=False)]
+    dset = ImageDataset(Path(cfg["train"]["x_path"]), Path(cfg["train"]["y_path"]),
+                        transforms=transforms)
+    loader = DataLoader(dset, batch_size=cfg["train"]["batch_size"], shuffle=True)
+    x, y = next(iter(loader))
+    x, y = jnp.asarray(x), jnp.asarray(y)
+
+    model = flagship_divergent_restorer()
+    metrics = [PSNRMetric(None), SCCMetric(None), SSIMMetric(None),
+               MAELoss(None), UIQMetric(None)]
+    trainer = NNTrainer(SSIMLabColorLoss(None), metrics, saver=None)
+    tx = make_optimizer(cfg["lr"])
+
+    print("init params ...", flush=True)
+    t0 = time.perf_counter()
+    params = model.init(jax.random.PRNGKey(0), x)
+    t_init = time.perf_counter() - t0
+    opt_state = tx.init(params)
+    train_step, _ = trainer._build_steps(model, tx)
+    acc = trainer._fresh_acc()
+
+    print("compiling train_step (cache-warm expected) ...", flush=True)
+    t0 = time.perf_counter()
+    compiled = train_step.lower(params, opt_state, x, y, cfg["lr"], acc).compile()
+    t_compile = time.perf_counter() - t0
+    print(f"compile returned in {t_compile:.1f}s (init {t_init:.1f}s)", flush=True)
+
+    # one executed step to settle allocator / first-dispatch costs
+    params, opt_state, lv, acc = train_step(params, opt_state, x, y, cfg["lr"], acc)
+    lv0 = float(np.asarray(lv))
+    print(f"warmup step loss={lv0:.5f}", flush=True)
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            params, opt_state, lv, acc = train_step(
+                params, opt_state, x, y, cfg["lr"], acc
+            )
+        lvf = float(np.asarray(lv))  # host fetch fences the chain
+        times.append((time.perf_counter() - t0) / args.steps)
+    per_step = float(np.median(times))
+    spread = (max(times) - min(times)) / 2 / per_step
+    print(
+        f"train step: {per_step:.3f} s/step (+/- {spread:.1%}, "
+        f"{1/per_step:.3f} steps/s, final loss {lvf:.5f}, finite={np.isfinite(lvf)})",
+        flush=True,
+    )
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(
+        "# Flagship train-step throughput on TPU (round 3)\n\n"
+        "Exact `scripts/train.py` train step (DivergentRestorer [2,8,32]/86, "
+        "two 100-iter unrolled iso ADMM layers with remat, SSIMLabColorLoss "
+        "+ 6 metrics, AdamW, value-clip, post-step clamp), batch "
+        f"{cfg['train']['batch_size']} at {tuple(cfg['im_shape'])}, real "
+        "data batch.\n\n"
+        f"* compile (this process, persistent-cache warm): **{t_compile:.1f} s** "
+        "— vs ~3,000 s cold on this toolchain (benchmarks/"
+        "tpu_loss_parity_r3.md); the cache-reuse-across-processes proof.\n"
+        f"* param init: {t_init:.1f} s\n"
+        f"* step time: **{per_step:.3f} s/step** (+/- {spread:.1%} over "
+        f"{args.reps}x{args.steps}-step chains, timed around host fetches) "
+        f"= {1/per_step:.3f} steps/s/chip\n"
+        f"* loss after warmup: {lv0:.5f} (finite)\n"
+    )
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
