@@ -52,8 +52,10 @@ def _make_kernel(iso_mode):
         ay = dy + uy_ref[...]
 
         if iso_mode is None:
-            zx = jnp.sign(ax) * jnp.maximum(jnp.abs(ax) - tau, 0.0)
-            zy = jnp.sign(ay) * jnp.maximum(jnp.abs(ay) - tau, 0.0)
+            # clip form of soft shrinkage: sign(a)*max(|a|-tau, 0)
+            # == a - clip(a, -tau, tau) exactly (3 VPU ops vs 5)
+            zx = ax - jnp.clip(ax, -tau, tau)
+            zy = ay - jnp.clip(ay, -tau, tau)
         elif iso_mode == "sample":
             # block is (1, C, H, W): couple across the channel axis
             nx = jnp.sqrt(jnp.sum(ax * ax, axis=1, keepdims=True) + _EPS)

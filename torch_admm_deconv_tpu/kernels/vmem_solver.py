@@ -245,8 +245,10 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
                 ax = dx + ux_scr[...]
                 ay = dyv + uy_scr[...]
                 if iso_mode is None:
-                    zx = jnp.sign(ax) * jnp.maximum(jnp.abs(ax) - tau, 0.0)
-                    zy = jnp.sign(ay) * jnp.maximum(jnp.abs(ay) - tau, 0.0)
+                    # soft shrinkage in clip form: sign(a)*max(|a|-tau, 0)
+                    # == a - clip(a, -tau, tau) exactly (3 VPU ops vs 5)
+                    zx = ax - jnp.clip(ax, -tau, tau)
+                    zy = ay - jnp.clip(ay, -tau, tau)
                 elif iso_mode == "sample":
                     nx = jnp.sqrt(jnp.sum(ax * ax, axis=0, keepdims=True) + _EPS)
                     ny = jnp.sqrt(jnp.sum(ay * ay, axis=0, keepdims=True) + _EPS)
@@ -429,8 +431,9 @@ def _make_adaptive_kernel(
                 ax = dx + ux_scr[...]
                 ay = dyv + uy_scr[...]
                 if iso_mode is None:
-                    zx = jnp.sign(ax) * jnp.maximum(jnp.abs(ax) - tau, 0.0)
-                    zy = jnp.sign(ay) * jnp.maximum(jnp.abs(ay) - tau, 0.0)
+                    # clip form of soft shrinkage (see fixed kernel)
+                    zx = ax - jnp.clip(ax, -tau, tau)
+                    zy = ay - jnp.clip(ay, -tau, tau)
                 elif iso_mode == "sample":
                     nx = jnp.sqrt(jnp.sum(ax * ax, axis=0, keepdims=True) + _EPS)
                     ny = jnp.sqrt(jnp.sum(ay * ay, axis=0, keepdims=True) + _EPS)
@@ -774,6 +777,7 @@ def admm_tv_vmem(
     *,
     iso_mode: str = "joint",
     precision: str = "high",
+    fast_frac: float = 0.75,
 ) -> jnp.ndarray:
     """Whole-solve-in-VMEM TV-ADMM. Same contract as ops.solver.admm_tv for
     the configurations :func:`vmem_solve_available` accepts; callers are
@@ -781,19 +785,23 @@ def admm_tv_vmem(
     ``use_pallas=True``).
 
     ``precision='mixed'`` opts in to the inexact-ADMM schedule: the first
-    3/4 of the iterations run single-pass bf16 x-update matmuls, the final
-    quarter the bf16x3 split. The fixed point is unchanged — early roundoff
-    is contracted away by the exact tail — but intermediate iterates differ
-    from the scan path, so it is NOT the default (parity)."""
+    ``fast_frac`` of the iterations run single-pass bf16 x-update matmuls,
+    the remainder the bf16x3 split. The fixed point is unchanged — early
+    roundoff is contracted away by the exact tail — but intermediate
+    iterates differ from the scan path, so it is NOT the default (parity).
+    ``fast_frac`` trades MXU passes for tail length (deviation study:
+    scripts/bench_mixed_precision.py)."""
     # symmetric-vs-general decision needs a concrete kernel: made eagerly
     return _admm_tv_vmem_impl(
         xin, lmbd, rho, kern, iso, maxit,
-        iso_mode=iso_mode, precision=precision, general=_psf_is_general(kern),
+        iso_mode=iso_mode, precision=precision, fast_frac=float(fast_frac),
+        general=_psf_is_general(kern),
     )
 
 
 @partial(
-    jax.jit, static_argnames=("iso", "maxit", "iso_mode", "precision", "general")
+    jax.jit,
+    static_argnames=("iso", "maxit", "iso_mode", "precision", "fast_frac", "general"),
 )
 def _admm_tv_vmem_impl(
     xin: jnp.ndarray,
@@ -805,6 +813,7 @@ def _admm_tv_vmem_impl(
     *,
     iso_mode: str = "joint",
     precision: str = "high",
+    fast_frac: float = 0.75,
     general: bool = False,
 ) -> jnp.ndarray:
     from torch_admm_deconv_tpu.ops import fdops
@@ -840,7 +849,7 @@ def _admm_tv_vmem_impl(
         int((planes_resident * h * w * 4 + mats_bytes) * 1.25) + 16 * 1024 * 1024,
     )
     if precision == "mixed":
-        fast_iters = (3 * maxit) // 4
+        fast_iters = min(int(fast_frac * maxit), maxit)
     elif precision == "high":
         fast_iters = 0
     else:
