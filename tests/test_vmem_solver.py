@@ -151,6 +151,22 @@ def test_mixed_precision_fixed_iter_reaches_same_fixed_point(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
 
 
+def test_mixed_precision_fast_frac_knob(rng):
+    """fast_frac tunes the single-pass/bf16x3 split (round 3): a longer fast
+    phase must still be contracted back to the fixed point by the exact
+    tail, and fast_frac=0.0 must match the all-bf16x3 kernel bitwise."""
+    x = _noisy(rng, b=1, c=2)
+    want = admm_tv_vmem(x, 0.05, 0.8, None, iso=False, maxit=60)
+    aggressive = admm_tv_vmem(
+        x, 0.05, 0.8, None, iso=False, maxit=60, precision="mixed", fast_frac=0.9
+    )
+    np.testing.assert_allclose(np.asarray(aggressive), np.asarray(want), atol=5e-3)
+    none_fast = admm_tv_vmem(
+        x, 0.05, 0.8, None, iso=False, maxit=60, precision="mixed", fast_frac=0.0
+    )
+    np.testing.assert_array_equal(np.asarray(none_fast), np.asarray(want))
+
+
 def test_adaptive_mixed_precision_honors_tol_contract(rng):
     """The mixed schedule must still exit with bf16x3-measured residuals
     below tol and agree with the all-high-precision adaptive solve."""
