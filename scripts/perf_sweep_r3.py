@@ -84,6 +84,10 @@ def main():
     for frac in (0.75, 0.875, 0.9375):
         time_cfg(f"gaussian mixed f={frac}", kg, ref_out,
                  precision="mixed", fast_frac=frac)
+    time_cfg("gaussian high interleaved", kg, ref_out,
+             precision="high", schedule="interleaved")
+    time_cfg("gaussian mixed f=0.75 interleaved", kg, ref_out,
+             precision="mixed", fast_frac=0.75, schedule="interleaved")
 
     ref_m = np.asarray(admm_tv_vmem(x, 0.002, 0.5, km, iso=False, maxit=args.maxit))
     time_cfg("motion high (bf16x3, Hartley-pair)", km, None, precision="high")

@@ -167,6 +167,37 @@ def test_mixed_precision_fast_frac_knob(rng):
     np.testing.assert_array_equal(np.asarray(none_fast), np.asarray(want))
 
 
+@pytest.mark.parametrize("iso,iso_mode", [(False, "joint"), (True, "joint")])
+def test_interleaved_schedule_matches_batched(rng, iso, iso_mode):
+    """The per-plane software-pipelined schedule (round 3 MFU work) must be
+    numerically equivalent to the batched kernel — same math, different
+    MXU/VPU interleave. Tolerance covers the different matmul association
+    (xform is left-stage-first; the batched apply right-stage-first), which
+    perturbs the bf16x3 split rounding at the ~1e-5 level."""
+    x = _noisy(rng, b=2, c=2)
+    want = admm_tv_vmem(x, 0.05, 0.8, None, iso=iso, maxit=40, iso_mode=iso_mode)
+    got = admm_tv_vmem(
+        x, 0.05, 0.8, None, iso=iso, maxit=40, iso_mode=iso_mode,
+        schedule="interleaved",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_interleaved_schedule_general_psf(rng):
+    """Interleaved schedule on the Hartley-pair (asymmetric PSF) path."""
+    from tests.oracles.numpy_admm import gaussian_psf
+
+    k = np.asarray(gaussian_psf(5, 1.0), np.float32)  # (1, 1, 5, 5)
+    k[0, 0, 0, 1] += 0.1  # break symmetry
+    k = k / k.sum()
+    x = _noisy(rng, b=1, c=2)
+    want = admm_tv_vmem(x, 0.02, 1.0, jnp.asarray(k), iso=False, maxit=40)
+    got = admm_tv_vmem(
+        x, 0.02, 1.0, jnp.asarray(k), iso=False, maxit=40, schedule="interleaved"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
 def test_adaptive_mixed_precision_honors_tol_contract(rng):
     """The mixed schedule must still exit with bf16x3-measured residuals
     below tol and agree with the all-high-precision adaptive solve."""
