@@ -168,6 +168,51 @@ class _SyntheticLoader:
         return len(self.batches)
 
 
+def test_skip_nonfinite_updates_guard():
+    """With skip_nonfinite_updates=True, a step whose loss/grads are
+    non-finite must leave params AND optimizer state bit-identical (no
+    NaN-poisoning), while finite steps update normally (round-3 hardening
+    after the flagship run diverged mid-epoch and every later step was
+    NaN)."""
+    import flax.linen as nn
+
+    from torch_admm_deconv_tpu.metrics.losses import MSE
+    from torch_admm_deconv_tpu.train.trainer import NNTrainer, make_optimizer
+
+    class Lin(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            w = self.param("w", lambda k, s: jnp.ones(s, jnp.float32), (1,))
+            return x * w
+
+    model = Lin()
+    x = jnp.ones((1, 1, 4, 4), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    tx = make_optimizer(1e-2)
+    trainer = NNTrainer(
+        MSE(None), [], saver=None, clamp_admm_params=False,
+        skip_nonfinite_updates=True,
+    )
+    train_step, _ = trainer._build_steps(model, tx)
+    opt_state = tx.init(params)
+    acc = trainer._fresh_acc()
+
+    bad_y = jnp.full_like(x, jnp.nan)
+    p1, o1, lv1, acc = train_step(params, opt_state, x, bad_y, 1e-2, acc)
+    assert not np.isfinite(float(lv1))
+    # no poisoned update applied: params bit-identical
+    np.testing.assert_array_equal(
+        np.asarray(p1["params"]["w"]), np.asarray(params["params"]["w"])
+    )
+
+    p2, o2, lv2, acc = train_step(p1, o1, x, jnp.zeros_like(x), 1e-2, acc)
+    assert np.isfinite(float(lv2))
+    assert float(jnp.abs(p2["params"]["w"] - params["params"]["w"]).max()) > 0
+
+    host = jax.device_get(acc)
+    assert int(host["nonfinite_steps"]) == 1
+
+
 def test_trainer_end_to_end_loss_decreases(tmp_path):
     model = M.DivergentRestorer(
         level_branches=[2, 2], in_channels=3, final_channels=3, filters=6,

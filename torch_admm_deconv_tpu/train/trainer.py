@@ -55,6 +55,7 @@ class NNTrainer:
         clamp_admm_params: bool = True,
         scheduler_step_per: str = "eval_batch",
         on_nonfinite: str = "warn",
+        skip_nonfinite_updates: bool = False,
     ):
         self.loss = loss
         self.saver = saver
@@ -65,6 +66,15 @@ class NNTrainer:
         assert on_nonfinite in ("warn", "raise")
         self.scheduler_step_per = scheduler_step_per
         self.on_nonfinite = on_nonfinite
+        # When True, a train step whose loss or gradients are non-finite
+        # applies NO update: params and optimizer state keep their previous
+        # values, so one exploding step cannot NaN-poison the whole run
+        # (round-3 hardening after the lr=8.8e-4 flagship run diverged mid-
+        # epoch and every subsequent step was NaN — VERDICT r2 task 8 taken
+        # to its conclusion: don't just log the NaN, refuse to apply it).
+        # Off by default: enabling it changes the train_step jaxpr, i.e. the
+        # persistent-compile-cache key of long-running flagship jobs.
+        self.skip_nonfinite_updates = skip_nonfinite_updates
         self._init_metrics(list(metrics))
         self._sched_count = 0
         self.params = None
@@ -111,17 +121,26 @@ class NNTrainer:
             }
             return new_acc, lv
 
+        skip_bad = self.skip_nonfinite_updates
+
         @jax.jit
         def train_step(params, opt_state, x, y, lr, acc):
             (lv, out), grads = jax.value_and_grad(forward_loss, has_aux=True)(params, x, y)
             grads = clip_grads_by_value(grads, clip_value)
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
             if clamp:
-                params = train_weight_clipper(params)
+                new_params = train_weight_clipper(new_params)
+            if skip_bad:
+                ok = jnp.isfinite(lv)
+                for leaf in jax.tree_util.tree_leaves(grads):
+                    ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
+                keep = lambda n, o: jnp.where(ok, n, o)  # noqa: E731
+                new_params = jax.tree_util.tree_map(keep, new_params, params)
+                new_opt_state = jax.tree_util.tree_map(keep, new_opt_state, opt_state)
             acc, lv = _accumulate(acc, lv, out, y)
-            return params, opt_state, lv, acc
+            return new_params, new_opt_state, lv, acc
 
         @jax.jit
         def eval_step(params, x, y, acc):
