@@ -102,6 +102,48 @@ def _peak_flops():
     return _DEFAULT_PEAK, kind
 
 
+def wait_for_quiet_chip(max_attempts=5, threshold=0.25, sleep_s=30.0, reps=5):
+    """Bounded quiet-wait before any timing (VERDICT r3 weak #2: the harness
+    detected contention honestly but had no recovery strategy). Times a small
+    fixed solve ``reps`` times; if the relative spread (half-IQR/median of the
+    fetch-to-fetch wall times) exceeds ``threshold``, sleeps and retries up to
+    ``max_attempts`` times, then proceeds anyway — the per-metric flags still
+    apply. Returns (attempts_used, final_spread)."""
+    import jax.numpy as jnp
+
+    from torch_admm_deconv_tpu.ops.solver import admm_tv
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(_scene(rng, 2, 256))
+    kern = jnp.asarray(_gaussian_psf(9, 1.5))
+
+    def probe(v):
+        return admm_tv(v, 0.002, 0.5, kern, iso=False, maxit=100, use_pallas=True,
+                       precision="mixed")
+
+    np.asarray(probe(x))  # compile
+    spread = float("inf")
+    for attempt in range(1, max_attempts + 1):
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(probe(x))
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        q75, q25 = np.percentile(times, [75, 25])
+        spread = (q75 - q25) / 2.0 / med if med > 0 else float("inf")
+        if spread <= threshold:
+            return attempt, spread
+        print(
+            f"[bench] chip noisy (probe spread {spread:.1%} > {threshold:.0%}), "
+            f"attempt {attempt}/{max_attempts}; sleeping {sleep_s:.0f}s",
+            file=sys.stderr, flush=True,
+        )
+        if attempt < max_attempts:
+            time.sleep(sleep_s)
+    return max_attempts, spread
+
+
 def bench_config1(batch=8, size=512, maxit=200, psf_size=9):
     """Config 1 per-iteration time via A/B-interleaved iteration scaling
     (median of (t(m_big) - t(m_small)) / (m_big - m_small) pairs with a
@@ -146,7 +188,14 @@ def bench_time_to_tol(x, kern, overhead, tol=1e-4, maxit=600, reps=7):
     t = float(np.median(times))
     res = admm_tv_adaptive_vmem(x, 0.002, 0.5, kern, iso=False, maxit=maxit, tol=tol)
     iters = np.asarray(res.iters)
-    return max(t - overhead, 0.0), float(iters.mean()), int(iters.max())
+    # When the dispatch/fetch overhead estimate meets or exceeds the measured
+    # wall time the subtraction is meaningless: flag it per-metric instead of
+    # silently clamping a north-star number to 0.0 (round-3 BENCH bug,
+    # VERDICT r3 weak #1). ``raw`` (uncorrected, includes overhead) is always
+    # reported as an upper bound.
+    net = t - overhead
+    unreliable = net <= 0.0 or overhead >= 0.5 * t
+    return (net if net > 0 else None), unreliable, t, float(iters.mean()), int(iters.max())
 
 
 def bench_config2(size=512, half=32, maxit=200, psf_size=9):
@@ -256,6 +305,9 @@ def main():
     batch, size, maxit = 8, 512, 200
     if os.environ.get("BENCH_SMOKE"):  # CI/CPU smoke: tiny shapes
         batch, size, maxit = 2, 128, 8
+        quiet_attempts, quiet_spread = 0, 0.0
+    else:
+        quiet_attempts, quiet_spread = wait_for_quiet_chip()
 
     x, kern, t1 = bench_config1(batch, size, maxit)
     per_iter, overhead = t1.per_iter, t1.overhead
@@ -286,11 +338,16 @@ def main():
     )
 
     # --- time-to-1e-4 (adaptive VMEM, per-block stopping) -----------------
-    t_tol, mean_iters, max_iters = bench_time_to_tol(x, kern, overhead)
+    t_tol, tol_unreliable, t_tol_raw, mean_iters, max_iters = bench_time_to_tol(
+        x, kern, overhead
+    )
+    tol_txt = f"{t_tol*1e3:.1f} ms" if t_tol is not None else "UNRELIABLE (overhead >= wall)"
     print(
-        f"[bench] adaptive VMEM to 1e-4: {t_tol*1e3:.1f} ms "
-        f"(mean {mean_iters:.0f} / max {max_iters} iters per block) "
-        f"vs fixed-{maxit}: {solve_ms:.1f} ms",
+        f"[bench] adaptive VMEM to 1e-4: {tol_txt} "
+        f"(raw incl. dispatch/fetch {t_tol_raw*1e3:.1f} ms, "
+        f"mean {mean_iters:.0f} / max {max_iters} iters per block) "
+        f"vs fixed-{maxit}: {solve_ms:.1f} ms"
+        + (", TOL-TIMING-UNRELIABLE" if tol_unreliable else ""),
         file=sys.stderr,
     )
 
@@ -330,7 +387,11 @@ def main():
                 "mfu": round(mfu, 4),
                 "mxu_fraction_executed": round(mxu_fraction, 4),
                 "fixed_solve_ms": round(solve_ms, 2),
-                "time_to_tol1e4_ms": round(t_tol * 1e3, 2),
+                "time_to_tol1e4_ms": round(t_tol * 1e3, 2) if t_tol is not None else None,
+                "time_to_tol1e4_raw_ms": round(t_tol_raw * 1e3, 2),
+                "time_to_tol_unreliable": bool(tol_unreliable),
+                "quiet_wait_attempts": quiet_attempts,
+                "quiet_wait_spread": round(quiet_spread, 4),
                 "adaptive_mean_iters": round(mean_iters, 1),
                 "adaptive_max_iters": max_iters,
                 "config2_gaussian_vmem_iters_per_s": round(1 / tg, 2),

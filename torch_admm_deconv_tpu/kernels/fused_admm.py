@@ -141,7 +141,10 @@ def fused_elementwise_step(x, u_x, u_y, hty, rho, tau, iso, iso_mode):
     sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     rho_arr = jnp.asarray(rho, jnp.float32).reshape(1, 1)
-    tau_arr = jnp.asarray(tau, jnp.float32).reshape(1, 1)
+    # tau >= 0: the kernel's clip-form shrinkage (a - clip(a, -tau, tau))
+    # requires a non-negative threshold; jnp.clip with min > max would return
+    # tau everywhere — a silent semantic change (ADVICE r3)
+    tau_arr = jnp.maximum(jnp.asarray(tau, jnp.float32), 0.0).reshape(1, 1)
 
     out_shape = [jax.ShapeDtypeStruct(collapsed, x.dtype)] * 3
     interpret = jax.default_backend() != "tpu"

@@ -501,7 +501,7 @@ def _make_adaptive_kernel(
             def body(carry):
                 k, _, _, rho = carry
                 freq = 1.0 / (habs2 + rho * d2)
-                tau = lmbd / rho
+                tau = jnp.maximum(lmbd / rho, 0.0)  # clip-form precondition
                 for i in range(g):
                     y_scr[i] = xform(s_scr[i]) * freq
                     t_scr[i] = xform(y_scr[i]) * inv_hw
@@ -914,7 +914,10 @@ def _admm_tv_vmem_impl(
     dtype = xin.dtype
     lmbd = jnp.asarray(lmbd, dtype).reshape(())
     rho = jnp.asarray(rho, dtype).reshape(())
-    tau = lmbd / rho
+    # tau >= 0 precondition of the clip-form shrinkage (a - clip(a, -tau, tau)
+    # is only soft-thresholding for non-negative tau; jnp.clip with min > max
+    # would silently return tau — ADVICE r3)
+    tau = jnp.maximum(lmbd / rho, 0.0)
 
     freq_c = fdops.freq_denominator((h, w), rho, kern, dtype)
     freq_full = mirror_freq_full_joint(jnp.broadcast_to(freq_c, (h, w // 2 + 1)), w)
@@ -939,7 +942,9 @@ def _admm_tv_vmem_impl(
         int((planes_resident * h * w * 4 + mats_bytes) * 1.25) + 16 * 1024 * 1024,
     )
     if precision == "mixed":
-        fast_iters = min(int(fast_frac * maxit), maxit)
+        # clamp both ends: a negative fast_frac must not push the exact-phase
+        # fori_loop past maxit (ADVICE r3), a >1 frac must not skip it
+        fast_iters = max(0, min(int(fast_frac * maxit), maxit))
     elif precision == "high":
         fast_iters = 0
     else:
