@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def init_training(config_file, min_std, max_std, save_dir, model_name, device, model_ckpt=None,
                   aot_only=False, resume_ckpt=None, skip_nonfinite=True, lr_override=None,
-                  arch="flagship", nafnet_width=32):
+                  arch="flagship", nafnet_width=32, light_train_metrics=False):
     import jax
 
     if device and device != "tpu":
@@ -126,7 +126,8 @@ def init_training(config_file, min_std, max_std, save_dir, model_name, device, m
     # compile per architecture; disable with --no-skip_nonfinite only to
     # reuse a cache built without it.
     trainer = NNTrainer(loss_func, eval_metrics, saver, logger,
-                        skip_nonfinite_updates=skip_nonfinite)
+                        skip_nonfinite_updates=skip_nonfinite,
+                        light_train_metrics=light_train_metrics)
     trainer.run(
         model,
         optimizer,
@@ -173,11 +174,16 @@ def main():
                              "(default) or the NAFNet comparison baseline")
     parser.add_argument("--nafnet_width", type=int, default=32,
                         help="NAFNet width when --arch nafnet (reference uses 64)")
+    parser.add_argument("--light_train_metrics", action="store_true",
+                        help="Compute only loss+MSE on train steps (eval keeps "
+                             "the full metric set); trades train-curve "
+                             "SSIM/SCC/UIQ for a faster step")
     args = parser.parse_args()
     init_training(args.config_file, args.min_awgn, args.max_awgn, args.save_dir,
                   args.model_name, args.device, aot_only=args.aot,
                   resume_ckpt=args.resume, skip_nonfinite=args.skip_nonfinite,
-                  lr_override=args.lr, arch=args.arch, nafnet_width=args.nafnet_width)
+                  lr_override=args.lr, arch=args.arch, nafnet_width=args.nafnet_width,
+                  light_train_metrics=args.light_train_metrics)
 
 
 if __name__ == "__main__":

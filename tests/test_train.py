@@ -293,3 +293,25 @@ def test_trainer_scheduler_steps_per_eval_batch(tmp_path):
         lr_scheduler=sched, base_lr=1e-3,
     )
     assert trainer._sched_count == 4  # 2 epochs x 2 eval batches
+
+
+def test_light_train_metrics_skips_monitoring_on_train(tmp_path):
+    """light_train_metrics: train steps accumulate only loss+MSE (PSNR still
+    derives from mean MSE per the reference logger contract); eval keeps the
+    full metric set. Heavy metric columns are NaN on train, finite on eval."""
+    model = M.Conv2d(3, 3, 1)
+    loss = MSE("cpu")
+    metrics = [PSNRMetric("cpu"), SSIMLoss("cpu"), MSE("cpu")]
+    logger = MetricsLogger(loss, metrics)
+    trainer = NNTrainer(loss, metrics, None, logger, light_train_metrics=True)
+    loader = _SyntheticLoader(n_batches=2)
+    trainer.run(model, make_optimizer(1e-2), epochs=1, train_dataloader=loader,
+                eval_dataloader=loader, base_lr=1e-2)
+    train = trainer.get_epoch_metrics("train")
+    evalm = trainer.get_epoch_metrics("eval")
+    # loss + mse + psnr-from-mean-mse present and finite on train
+    assert math.isfinite(train["mse"]) and math.isfinite(train["psnr"])
+    # the conv-windowed monitoring metric was skipped on train...
+    assert math.isnan(train["ssim_loss"])
+    # ...but fully computed on eval
+    assert math.isfinite(evalm["ssim_loss"])

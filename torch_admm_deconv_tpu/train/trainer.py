@@ -56,6 +56,7 @@ class NNTrainer:
         scheduler_step_per: str = "eval_batch",
         on_nonfinite: str = "warn",
         skip_nonfinite_updates: bool = False,
+        light_train_metrics: bool = False,
     ):
         self.loss = loss
         self.saver = saver
@@ -75,6 +76,12 @@ class NNTrainer:
         # Off by default: enabling it changes the train_step jaxpr, i.e. the
         # persistent-compile-cache key of long-running flagship jobs.
         self.skip_nonfinite_updates = skip_nonfinite_updates
+        # When True, TRAIN steps compute only the loss and MSE (MSE feeds the
+        # reference's PSNR-from-mean-MSE epoch reporting, logger.py:49-51);
+        # the conv-windowed monitoring metrics (SSIM/UIQ/SCC) run on eval
+        # steps only. The eval curve — the quality record — is unchanged;
+        # train_ssim/train_scc/train_uiq columns become NaN.
+        self.light_train_metrics = light_train_metrics
         self._init_metrics(list(metrics))
         self._sched_count = 0
         self.params = None
@@ -94,11 +101,17 @@ class NNTrainer:
         clip_value = self.clip_value
         clamp = self.clamp_admm_params
 
+        train_metrics = (
+            [m for m in metrics if m.m_name == "mse"]
+            if self.light_train_metrics
+            else metrics
+        )
+
         def forward_loss(params, x, y):
             out = model.apply(params, x)
             return loss_fn_obj(out, y), out
 
-        def _accumulate(acc, lv, out, y):
+        def _accumulate(acc, lv, out, y, metrics=metrics):
             # On-device streaming sums: one fetch per EPOCH instead of one
             # host sync per step (round-2 trainer fetched float(loss) + every
             # metric every step over the slow tunnel — VERDICT weak #7).
@@ -139,7 +152,7 @@ class NNTrainer:
                 keep = lambda n, o: jnp.where(ok, n, o)  # noqa: E731
                 new_params = jax.tree_util.tree_map(keep, new_params, params)
                 new_opt_state = jax.tree_util.tree_map(keep, new_opt_state, opt_state)
-            acc, lv = _accumulate(acc, lv, out, y)
+            acc, lv = _accumulate(acc, lv, out, y, metrics=train_metrics)
             return new_params, new_opt_state, lv, acc
 
         @jax.jit
@@ -150,8 +163,11 @@ class NNTrainer:
 
         return train_step, eval_step
 
-    def _fresh_acc(self):
-        names = [self.loss.m_name] + [m.m_name for m in self.metrics]
+    def _fresh_acc(self, phase: str = "eval"):
+        ms = self.metrics
+        if phase == "train" and self.light_train_metrics:
+            ms = [m for m in ms if m.m_name == "mse"]
+        names = [self.loss.m_name] + [m.m_name for m in ms]
         zero = jnp.zeros((), jnp.float32)
         return {
             "sums": {n: zero for n in names},
@@ -234,11 +250,12 @@ class NNTrainer:
 
             x = jnp.asarray(first_x)
             y = jnp.asarray(first_x)
-            acc = self._fresh_acc()
             for name, fn, args in (
                 ("train_step", self._train_step,
-                 (self.params, self.opt_state, x, y, self._base_lr, acc)),
-                ("eval_step", self._eval_step, (self.params, x, y, acc)),
+                 (self.params, self.opt_state, x, y, self._base_lr,
+                  self._fresh_acc("train"))),
+                ("eval_step", self._eval_step,
+                 (self.params, x, y, self._fresh_acc("eval"))),
             ):
                 t0 = _time.perf_counter()
                 compiled = fn.lower(*args).compile()
@@ -276,7 +293,7 @@ class NNTrainer:
         if self.logger:
             self.logger.reinit_step_stats()
         print("\n [ TRAINING ]")
-        acc = self._fresh_acc()
+        acc = self._fresh_acc("train")
         for x, y in train_dataloader:
             lr = self._current_lr(lr_scheduler)
             self.params, self.opt_state, lv, acc = self._train_step(
