@@ -190,3 +190,72 @@ def test_spatial_adaptive_mxu_converges(mesh, rng):
                                    mesh=mesh, fft_impl="xla")
     assert abs(int(res.iters) - int(ref.iters)) <= 1
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=5e-4)
+
+
+# -- halo-margin local x-update (x_update_mode='halo') ----------------------
+
+
+@pytest.mark.parametrize("iso,iso_mode", [(False, "compat"), (True, "joint")])
+def test_halo_matches_single_device_denoise(mesh, rng, iso, iso_mode):
+    """128 rows / 8 shards => h_local=16; halo=16 rows of true neighbour
+    context makes the local x-update error ~exp(-halo/l) with l ~ 1 row."""
+    x = jnp.asarray(rng.normal(size=(1, 3, 128, 32)) * 0.1 + 0.5, jnp.float32)
+    single = np.asarray(admm_tv(x, 0.05, 0.8, None, iso=iso, maxit=30, iso_mode=iso_mode))
+    tiled = np.asarray(
+        spatial_admm_tv(x, 0.05, 0.8, None, iso=iso, maxit=30, mesh=mesh,
+                        iso_mode=iso_mode, x_update_mode="halo", halo=16)
+    )
+    np.testing.assert_allclose(tiled, single, atol=5e-4)
+
+
+def test_halo_matches_single_device_deblur(mesh, rng):
+    psf = jnp.asarray(oracle.gaussian_psf(9, 1.5), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 3, 128, 48)) * 0.1 + 0.5, jnp.float32)
+    single = np.asarray(admm_tv(x, 0.01, 1.0, psf, maxit=40))
+    tiled = np.asarray(
+        spatial_admm_tv(x, 0.01, 1.0, psf, maxit=40, mesh=mesh,
+                        x_update_mode="halo", halo=16)
+    )
+    np.testing.assert_allclose(tiled, single, atol=1e-3)
+
+
+def test_halo_error_decays_with_margin(mesh, rng):
+    """The halo width is an accuracy knob: error vs the exact solver must
+    shrink as the margin grows."""
+    x = jnp.asarray(rng.normal(size=(1, 1, 128, 32)) * 0.1 + 0.5, jnp.float32)
+    single = np.asarray(admm_tv(x, 0.05, 0.8, None, maxit=30))
+
+    def err(halo):
+        t = np.asarray(spatial_admm_tv(x, 0.05, 0.8, None, maxit=30, mesh=mesh,
+                                       x_update_mode="halo", halo=halo))
+        return float(np.max(np.abs(t - single)))
+
+    e2, e8, e16 = err(2), err(8), err(16)
+    assert e2 > e8 > e16, (e2, e8, e16)
+    assert e16 < 5e-5, e16
+
+
+def test_halo_one_shard_converges_with_margin(rng):
+    """At n=1 the pad is the block's own wrap; the padded problem is an
+    (H+2m)-periodic circulant, so a generous margin drives the error to fp
+    noise (it is NOT bit-exact at any m)."""
+    mesh1 = make_mesh((1,), ("space",))
+    x = jnp.asarray(rng.normal(size=(1, 3, 32, 32)) * 0.1 + 0.5, jnp.float32)
+    single = np.asarray(admm_tv(x, 0.05, 0.8, None, maxit=30))
+    tiled = np.asarray(spatial_admm_tv(x, 0.05, 0.8, None, maxit=30, mesh=mesh1,
+                                       x_update_mode="halo", halo=16))
+    np.testing.assert_allclose(tiled, single, atol=5e-5)
+
+
+def test_halo_adaptive_converges_and_matches(mesh, rng):
+    from torch_admm_deconv_tpu.ops.solver import admm_tv_adaptive
+
+    img = rng.normal(size=(1, 1, 128, 64)) * 0.1 + 0.5
+    x = jnp.asarray(img, jnp.float32)
+    res = spatial_admm_tv_adaptive(x, 0.05, 1.0, None, maxit=300, tol=1e-4,
+                                   mesh=mesh, x_update_mode="halo", halo=16)
+    assert int(res.iters) < 300
+    assert float(res.r_norm) <= 1e-4 and float(res.s_norm) <= 1e-4
+    ref = admm_tv_adaptive(x, 0.05, 1.0, None, maxit=300, tol=1e-4)
+    assert abs(int(res.iters) - int(ref.iters)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-3)

@@ -54,6 +54,23 @@ def _shift_rows(x: jnp.ndarray, direction: int, axis_name: str, n: int) -> jnp.n
         return jnp.concatenate([x[..., 1:, :], recv], axis=-2)
 
 
+def _halo_exchange(v: jnp.ndarray, m: int, axis_name: str, n: int) -> jnp.ndarray:
+    """Pad an H-sharded block with ``m`` rows from each circular neighbour:
+    (..., H/n, W) -> (..., H/n + 2m, W). The top margin is the previous
+    shard's last m rows, the bottom margin the next shard's first m rows —
+    the globally-correct circular context for a local solve. (At n=1 the
+    permutation is the identity and the pad is the block's own wrap; the
+    padded problem is still an (H+2m)-periodic circulant, so the margin
+    truncation error remains — it just decays exponentially in m.)"""
+    top = jax.lax.ppermute(
+        v[..., -m:, :], axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    bot = jax.lax.ppermute(
+        v[..., :m, :], axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    return jnp.concatenate([top, v, bot], axis=-2)
+
+
 def dy_sharded(x, axis_name, n):
     return x - _shift_rows(x, +1, axis_name, n)
 
@@ -173,6 +190,80 @@ def _make_sharded_freq_ops(impl: str, axis_name: str, n: int, h: int, w: int,
 
 
 # ---------------------------------------------------------------------------
+# halo-margin local x-update (comm diet — SURVEY §7 hard part (a))
+# ---------------------------------------------------------------------------
+# The pencil path is exact but pays 2 all_to_all transposes per iteration and
+# forces complex (2x) matmul stages. The circulant operator
+# (|H_hat|^2 + rho |D_hat|^2)^-1 has an exponentially-decaying spatial kernel,
+# so the x-update can instead be solved LOCALLY on the shard's block padded
+# with ``halo`` rows of true neighbour data (one ppermute pair, 2m*W rows of
+# traffic vs the transpose's H/n*W), discarding the margins. The local padded
+# solve reuses the single-device x-update machinery — including the Hartley
+# (dht) path the pencil decomposition cannot use — so single-device overhead
+# is only (H/n + 2m)/(H/n) extra FFT rows. Error decays ~exp(-m/l) with
+# decay length l ~ 1/acosh(1 + 1/(2 rho)) rows (validated against the
+# unsharded oracle in tests/test_spatial.py).
+
+
+def _make_local_freq_solver(fft_impl: str, shape: Tuple[int, int]):
+    """(s, freq_c) -> x local circulant solve with precomputed DFT mats, so
+    adaptive-rho loops can rebuild freq_c per iteration without rebuilding
+    the transform matrices."""
+    if fft_impl == "dht":
+        from torch_admm_deconv_tpu.ops.mxu_fft import (
+            cas_mats,
+            freq_solve_dht,
+            mirror_freq_full,
+        )
+
+        mats = cas_mats(*shape)
+        return lambda s, fc: freq_solve_dht(s, mirror_freq_full(fc, shape[1]), mats)
+    if fft_impl == "mxu":
+        from torch_admm_deconv_tpu.ops.mxu_fft import dft_mats, freq_solve_mxu
+
+        mats = dft_mats(*shape)
+        return lambda s, fc: freq_solve_mxu(s, fc, mats)
+
+    def xla_solve(s, fc):
+        return jnp.fft.irfft2(fc * jnp.fft.rfft2(s, axes=(-2, -1)), s=shape, axes=(-2, -1))
+
+    return xla_solve
+
+
+def _make_halo_ops(kern, *, fft_impl, axis_name, n, h_local, w, halo, dtype):
+    """Returns (x_update(s, freq_c), habs2, d2, hty_fn) for the halo-margin
+    local solve on the (h_local + 2*halo, w) padded block. ``freq_c`` must be
+    built on that padded grid: 1 / (habs2 + rho * d2)."""
+    from torch_admm_deconv_tpu.ops import fdops
+
+    assert 0 < halo <= h_local, f"halo={halo} must be in (0, H/n={h_local}]"
+    h_pad = h_local + 2 * halo
+    shape = (h_pad, w)
+    solve = _make_local_freq_solver(fft_impl, shape)
+
+    if kern is None or kern.size == 0:
+        habs2 = jnp.ones((), dtype)
+        hty_fn = lambda v: v  # noqa: E731
+    else:
+        otf_c = fdops.psf_otf_centered(kern.astype(dtype), shape)
+        habs2 = (otf_c.real**2 + otf_c.imag**2).astype(dtype)
+
+        def hty_fn(v):
+            v_pad = _halo_exchange(v, halo, axis_name, n)
+            full = fdops.htran_fft(v_pad, otf_c, shape)
+            return full[..., halo : halo + h_local, :]
+
+    d2 = fdops.grad_otf_abs2(shape, dtype)
+
+    def x_update(s, freq_c):
+        s_pad = _halo_exchange(s, halo, axis_name, n)
+        x_pad = solve(s_pad, freq_c)
+        return x_pad[..., halo : halo + h_local, :]
+
+    return x_update, habs2, d2, hty_fn
+
+
+# ---------------------------------------------------------------------------
 # closed-form per-column frequency grids (no replicated full-size arrays)
 # ---------------------------------------------------------------------------
 
@@ -237,7 +328,8 @@ def _shrink(dxu, dyu, tau, iso: bool, iso_mode: str):
 
 
 def _local_fixed_solver(
-    xin, lmbd, rho, kern, *, axis_name, n, h, w, iso, iso_mode, maxit, fft_impl
+    xin, lmbd, rho, kern, *, axis_name, n, h, w, iso, iso_mode, maxit, fft_impl,
+    x_update_mode="pencil", halo=32
 ):
     dtype = xin.dtype
     h_local = xin.shape[-2]
@@ -245,26 +337,36 @@ def _local_fixed_solver(
     rho = jnp.reshape(rho, ()).astype(dtype)
     tau = lmbd / rho
 
-    fwd, inv, mul_real, mul_conj = _make_sharded_freq_ops(
-        fft_impl, axis_name, n, h, w, h_local
-    )
-    kx, valid = _my_cols(axis_name, n, w)
-    d2 = grad_abs2_cols(h, w, kx, dtype)
-    if kern is None or kern.size == 0:
-        h_abs2 = jnp.ones((), dtype)
-        hty = xin
+    if x_update_mode == "halo":
+        x_up, h_abs2, d2p, hty_fn = _make_halo_ops(
+            kern, fft_impl=fft_impl, axis_name=axis_name, n=n,
+            h_local=h_local, w=w, halo=halo, dtype=dtype,
+        )
+        hty = hty_fn(xin)
+        freq_c = 1.0 / (h_abs2 + rho * d2p)
+        solve_x = lambda s: x_up(s, freq_c)  # noqa: E731
     else:
-        otf_c = psf_otf_centered_cols(kern, h, w, kx, dtype)
-        h_abs2 = (otf_c.real**2 + otf_c.imag**2).astype(dtype)
-        hty = inv(mul_conj(fwd(xin), otf_c))
-    denom = h_abs2 + rho * d2
-    freq_c = jnp.where(valid[None, :], 1.0 / denom, 0.0)
+        fwd, inv, mul_real, mul_conj = _make_sharded_freq_ops(
+            fft_impl, axis_name, n, h, w, h_local
+        )
+        kx, valid = _my_cols(axis_name, n, w)
+        d2 = grad_abs2_cols(h, w, kx, dtype)
+        if kern is None or kern.size == 0:
+            h_abs2 = jnp.ones((), dtype)
+            hty = xin
+        else:
+            otf_c = psf_otf_centered_cols(kern, h, w, kx, dtype)
+            h_abs2 = (otf_c.real**2 + otf_c.imag**2).astype(dtype)
+            hty = inv(mul_conj(fwd(xin), otf_c))
+        denom = h_abs2 + rho * d2
+        freq_c = jnp.where(valid[None, :], 1.0 / denom, 0.0)
+        solve_x = lambda s: inv(mul_real(fwd(s), freq_c))  # noqa: E731
 
     zeros = jnp.zeros_like(xin)
 
     def step(carry, _):
         s, u_x, u_y, _ = carry
-        x = inv(mul_real(fwd(s), freq_c))
+        x = solve_x(s)
         dxk = dx_local(x)
         dyk = dy_sharded(x, axis_name, n)
         z_x, z_y = _shrink(dxk + u_x, dyk + u_y, tau, iso, iso_mode)
@@ -289,17 +391,31 @@ def spatial_admm_tv(
     axis: str = "space",
     iso_mode: str = "compat",
     fft_impl: str = "auto",
+    x_update_mode: str = "pencil",
+    halo: int = 32,
 ) -> jnp.ndarray:
     """Fixed-iteration TV-ADMM with the image spatially tiled over ``axis``.
 
-    ``xin``: (B, C, H, W) with H divisible by the axis size. Matches
-    :func:`ops.solver.admm_tv` output to fp tolerance.
+    ``xin``: (B, C, H, W) with H divisible by the axis size.
+
+    ``x_update_mode``: 'pencil' (default) runs the exact distributed-FFT
+    x-update (2 all_to_all transposes/iteration) and matches
+    :func:`ops.solver.admm_tv` to fp tolerance; 'halo' solves the x-update
+    locally on a ``halo``-row padded block (one ppermute pair/iteration,
+    single-device-optimal local transforms incl. the Hartley path) with
+    error that decays exponentially in ``halo``.
     """
     n = mesh.shape[axis]
     b, c, h, w = xin.shape
     assert h % n == 0, f"H={h} must divide over {n} spatial shards"
     kern_arr = None if kern is None or kern.size == 0 else jnp.asarray(kern)
 
+    if x_update_mode == "halo":
+        from torch_admm_deconv_tpu.ops.solver import _resolve_fft_impl
+
+        impl = _resolve_fft_impl(fft_impl, kern_arr)  # dht usable locally
+    else:
+        impl = _resolve_spatial_fft_impl(fft_impl, kern_arr)
     body = partial(
         _local_fixed_solver,
         axis_name=axis,
@@ -309,7 +425,9 @@ def spatial_admm_tv(
         iso=iso,
         iso_mode=iso_mode,
         maxit=maxit,
-        fft_impl=_resolve_spatial_fft_impl(fft_impl, kern_arr),
+        fft_impl=impl,
+        x_update_mode=x_update_mode,
+        halo=halo,
     )
     spec_x = P(None, None, axis, None)
     spec_s = P()
@@ -341,15 +459,23 @@ def spatial_admm_tv_adaptive(
     rho_mu: float = 10.0,
     rho_scale: float = 2.0,
     fft_impl: str = "auto",
+    x_update_mode: str = "pencil",
+    halo: int = 32,
 ) -> AdaptiveResult:
     """Residual-stopped / adaptive-rho spatial solver: residual norms psum
-    over the space axis so every shard stops and rescales rho jointly."""
+    over the space axis so every shard stops and rescales rho jointly.
+    ``x_update_mode``/``halo`` as in :func:`spatial_admm_tv`."""
     n = mesh.shape[axis]
     b, c, h, w = xin.shape
     assert h % n == 0
     kern_arr = None if kern is None or kern.size == 0 else jnp.asarray(kern)
     dtype = xin.dtype
-    impl = _resolve_spatial_fft_impl(fft_impl, kern_arr)
+    if x_update_mode == "halo":
+        from torch_admm_deconv_tpu.ops.solver import _resolve_fft_impl
+
+        impl = _resolve_fft_impl(fft_impl, kern_arr)
+    else:
+        impl = _resolve_spatial_fft_impl(fft_impl, kern_arr)
 
     def local(xin_l, lmbd_s, rho_s, *maybe_kern):
         kern_l = maybe_kern[0] if maybe_kern else None
@@ -357,18 +483,34 @@ def spatial_admm_tv_adaptive(
         lmbd_ = jnp.reshape(lmbd_s, ()).astype(dtype)
         rho0 = jnp.reshape(rho_s, ()).astype(dtype)
 
-        fwd, inv, mul_real, mul_conj = _make_sharded_freq_ops(
-            impl, axis, n, h, w, h_local
-        )
-        kx, valid = _my_cols(axis, n, w)
-        d2 = grad_abs2_cols(h, w, kx, dtype)
-        if kern_l is None:
-            h_abs2 = jnp.ones((), dtype)
-            hty = xin_l
+        if x_update_mode == "halo":
+            x_up, h_abs2, d2, hty_fn = _make_halo_ops(
+                kern_l, fft_impl=impl, axis_name=axis, n=n,
+                h_local=h_local, w=w, halo=halo, dtype=dtype,
+            )
+            hty = hty_fn(xin_l)
+            solve_x = lambda s_rhs, rho_k: x_up(  # noqa: E731
+                s_rhs, 1.0 / (h_abs2 + rho_k * d2)
+            )
         else:
-            otf_c = psf_otf_centered_cols(kern_l, h, w, kx, dtype)
-            h_abs2 = (otf_c.real**2 + otf_c.imag**2).astype(dtype)
-            hty = inv(mul_conj(fwd(xin_l), otf_c))
+            fwd, inv, mul_real, mul_conj = _make_sharded_freq_ops(
+                impl, axis, n, h, w, h_local
+            )
+            kx, valid = _my_cols(axis, n, w)
+            d2 = grad_abs2_cols(h, w, kx, dtype)
+            if kern_l is None:
+                h_abs2 = jnp.ones((), dtype)
+                hty = xin_l
+            else:
+                otf_c = psf_otf_centered_cols(kern_l, h, w, kx, dtype)
+                h_abs2 = (otf_c.real**2 + otf_c.imag**2).astype(dtype)
+                hty = inv(mul_conj(fwd(xin_l), otf_c))
+            solve_x = lambda s_rhs, rho_k: inv(  # noqa: E731
+                mul_real(
+                    fwd(s_rhs),
+                    jnp.where(valid[None, :], 1.0 / (h_abs2 + rho_k * d2), 0.0),
+                )
+            )
 
         def reduce_all(v):
             return jax.lax.psum(jnp.sum(v), axis_name=axis)
@@ -383,9 +525,8 @@ def spatial_admm_tv_adaptive(
 
         def bodyf(carry):
             k, x, z_x, z_y, u_x, u_y, _, _, rho_k = carry
-            freq_c = jnp.where(valid[None, :], 1.0 / (h_abs2 + rho_k * d2), 0.0)
             s_rhs = hty + rho_k * (dx_t_local(z_x - u_x) + dy_t_sharded(z_y - u_y, axis, n))
-            x = inv(mul_real(fwd(s_rhs), freq_c))
+            x = solve_x(s_rhs, rho_k)
             dxk = dx_local(x)
             dyk = dy_sharded(x, axis, n)
             tau = lmbd_ / rho_k
