@@ -27,6 +27,8 @@ def main():
     parser.add_argument("--width", type=int, default=512)
     parser.add_argument("--maxit", type=int, default=50)
     parser.add_argument("--chain", type=int, default=4)
+    parser.add_argument("--x_update_mode", choices=["pencil", "halo"], default="pencil")
+    parser.add_argument("--halo", type=int, default=32)
     args = parser.parse_args()
 
     import jax
@@ -49,7 +51,8 @@ def main():
         x = jnp.asarray(rng.random((1, 3, h, args.width), dtype=np.float32))
 
         def solve(v, mesh=mesh):
-            return spatial_admm_tv(v, 0.05, 1.0, None, maxit=args.maxit, mesh=mesh)
+            return spatial_admm_tv(v, 0.05, 1.0, None, maxit=args.maxit, mesh=mesh,
+                                   x_update_mode=args.x_update_mode, halo=args.halo)
 
         np.asarray(solve(x))  # compile
         t = timed_fetch(solve, x)
