@@ -118,8 +118,11 @@ def wait_for_quiet_chip(max_attempts=5, threshold=0.25, sleep_s=30.0, reps=5):
     kern = jnp.asarray(_gaussian_psf(9, 1.5))
 
     def probe(v):
+        # .sum(): force full execution via data dependency but fetch 4 bytes —
+        # fetching the whole output over the stdio tunnel costs seconds with
+        # high jitter and was the dominant round-3 noise term
         return admm_tv(v, 0.002, 0.5, kern, iso=False, maxit=100, use_pallas=True,
-                       precision="mixed")
+                       precision="mixed").sum()
 
     np.asarray(probe(x))  # compile
     spread = float("inf")
@@ -159,9 +162,13 @@ def bench_config1(batch=8, size=512, maxit=200, psf_size=9):
     kern = jnp.asarray(_gaussian_psf(psf_size, 1.5))
 
     def solver_of_maxit(m):
+        # scalar-checksum fetch: the data dependency forces the whole solve to
+        # execute, but only 4 bytes cross the tunnel — the full-batch fetch
+        # (25-100 MB, 0.7-3.5 s, high jitter) was the dominant noise source in
+        # the round-1..3 benches (VERDICT r3 weak #2)
         return lambda v: admm_tv(
             v, 0.002, 0.5, kern, iso=False, maxit=m, use_pallas=True, precision="mixed"
-        )
+        ).sum()
 
     res = robust_iter_timing(solver_of_maxit, x, m_small=maxit, m_big=5 * maxit,
                              reps=9, on_unreliable="flag")
@@ -177,7 +184,7 @@ def bench_time_to_tol(x, kern, overhead, tol=1e-4, maxit=600, reps=7):
     def solve(v):
         return admm_tv_adaptive_vmem(
             v, 0.002, 0.5, kern, iso=False, maxit=maxit, tol=tol
-        ).x
+        ).x.sum()  # scalar-checksum fetch (see bench_config1)
 
     np.asarray(solve(x))  # compile
     times = []
@@ -218,12 +225,12 @@ def bench_config2(size=512, half=32, maxit=200, psf_size=9):
     def gaussian_of_maxit(m):
         return lambda v: admm_tv(
             v, 0.002, 0.5, kg, iso=False, maxit=m, use_pallas=True, precision="mixed"
-        )
+        ).sum()  # scalar-checksum fetch (see bench_config1)
 
     def motion_of_maxit(m):
         return lambda v: admm_tv(
             v, 0.002, 0.5, km, iso=False, maxit=m, use_pallas=True, precision="mixed"
-        )
+        ).sum()
 
     rg = robust_iter_timing(gaussian_of_maxit, xg, m_small=maxit, m_big=3 * maxit,
                             reps=7, on_unreliable="flag")

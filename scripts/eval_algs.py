@@ -48,8 +48,10 @@ def main():
     parser.add_argument("--save_path", default="eval_out")
     parser.add_argument("--ckpt", default=None, help="trained model checkpoint (.tar)")
     parser.add_argument("--model", default="divergent",
-                        choices=["divergent", "classical"],
-                        help="divergent: DivergentRestorer ckpt; classical: TV-ADMM solver")
+                        choices=["divergent", "classical", "learned_prox"],
+                        help="divergent: DivergentRestorer ckpt; classical: TV-ADMM "
+                             "solver; learned_prox: LearnedProxADMM ckpt (10-step "
+                             "unrolled PnP, BASELINE config 4)")
     parser.add_argument("--crop", type=int, default=256)
     parser.add_argument("--awgn", type=int, default=15, help="AWGN sigma added to x (0=off)")
     parser.add_argument("--lmbd", type=float, default=0.05)
@@ -114,6 +116,15 @@ def main():
         )
         model_apply = jax.jit(lambda x: model.apply(params, x))
 
+    if args.model == "learned_prox" and args.ckpt:
+        from torch_admm_deconv_tpu.models.learned_prox import LearnedProxADMM
+
+        lp = LearnedProxADMM(steps=10, channels=3, hidden=32)
+        lp_params = jax.tree_util.tree_map(
+            jnp.asarray, load_checkpoint(args.ckpt)["model_state_dict"]
+        )
+        model_apply = jax.jit(lambda x: lp.apply(lp_params, x))
+
     nafnet_apply = None
     if args.nafnet_ckpt:
         from torch_admm_deconv_tpu.models.nafnet import NAFNet
@@ -145,7 +156,7 @@ def main():
     for i, (x, y) in enumerate(loader):
         xj, yj = jnp.asarray(x), jnp.asarray(y)
         outs = {}
-        if model_apply is not None and args.model == "divergent":
+        if model_apply is not None and args.model in ("divergent", "learned_prox"):
             outs["model"] = model_apply(xj)
         else:
             outs["admm"] = admm_tv(xj, args.lmbd, args.rho, None, iso=True, maxit=args.maxit)

@@ -81,6 +81,14 @@ def init_training(config_file, min_std, max_std, save_dir, model_name, device, m
             img_channel=3, width=nafnet_width, middle_blk_num=12,
             enc_blk_nums=(2, 2, 4, 8), dec_blk_nums=(2, 2, 2, 2),
         )
+    elif arch == "learned_prox":
+        # BASELINE config 4's named capability: unrolled ADMM with a learned
+        # prox-net z-update (PnP). 10 shared-weight stages vs the classical
+        # solver's 100 — the claim under test is that the learned prox wins
+        # at a fraction of the iteration budget.
+        from torch_admm_deconv_tpu.models.learned_prox import LearnedProxADMM
+
+        model = LearnedProxADMM(steps=10, channels=3, hidden=32)
     elif model_cfg:
         # beyond-reference: architecture overrides via config (the reference
         # hardcodes the model in the script, train.py:70-73)
@@ -169,9 +177,11 @@ def main():
     parser.add_argument("--lr", type=float, default=None,
                         help="Override the config learning rate (runtime arg — "
                              "no recompile)")
-    parser.add_argument("--arch", choices=["flagship", "nafnet"], default="flagship",
+    parser.add_argument("--arch", choices=["flagship", "nafnet", "learned_prox"],
+                        default="flagship",
                         help="Model to train: the flagship DivergentRestorer "
-                             "(default) or the NAFNet comparison baseline")
+                             "(default), the NAFNet comparison baseline, or the "
+                             "learned-prox unrolled ADMM (BASELINE config 4)")
     parser.add_argument("--nafnet_width", type=int, default=32,
                         help="NAFNet width when --arch nafnet (reference uses 64)")
     parser.add_argument("--light_train_metrics", action="store_true",
