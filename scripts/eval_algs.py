@@ -95,11 +95,12 @@ def main():
             flagship_divergent_restorer,
         )
 
+        use_pallas = args.device == "tpu"  # interpret-mode Pallas is unusable on CPU
         if args.model_cfg:
             cfg = json.load(open(args.model_cfg))
             # inference: no remat, VMEM fast path for the empty-kernel solves
             admm = {"kern_size": (), "max_iters": cfg.get("admm_iters", 100), "iso": True,
-                    "remat": False, "use_pallas": True}
+                    "remat": False, "use_pallas": use_pallas}
             model = DivergentRestorer(
                 level_branches=cfg.get("level_branches", [2, 8, 32]),
                 in_channels=3, final_channels=3,
@@ -110,7 +111,7 @@ def main():
                 admms=[dict(admm), dict(admm)],
             )
         else:
-            model = flagship_divergent_restorer(remat=False, use_pallas=True)
+            model = flagship_divergent_restorer(remat=False, use_pallas=use_pallas)
         params = jax.tree_util.tree_map(
             jnp.asarray, load_checkpoint(args.ckpt)["model_state_dict"]
         )

@@ -24,7 +24,7 @@ the single-device solver bit-for-bit (same FFT plan modulo reordering).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -416,6 +416,24 @@ def spatial_admm_tv(
         impl = _resolve_fft_impl(fft_impl, kern_arr)  # dht usable locally
     else:
         impl = _resolve_spatial_fft_impl(fft_impl, kern_arr)
+    jitted = _fixed_sharded_fn(
+        mesh, axis, n, h, w, iso, iso_mode, maxit, impl, x_update_mode, halo,
+        kern_arr is not None,
+    )
+    args = (xin, jnp.asarray(lmbd, xin.dtype), jnp.asarray(rho, xin.dtype)) + (
+        (kern_arr,) if kern_arr is not None else ()
+    )
+    return jitted(*args)
+
+
+@lru_cache(maxsize=64)
+def _fixed_sharded_fn(mesh, axis, n, h, w, iso, iso_mode, maxit, impl,
+                      x_update_mode, halo, has_kern):
+    """Build-and-jit the sharded fixed solver ONCE per static config: a fresh
+    `jax.jit(shard_map(...))` per call would re-trace every invocation (the
+    round-4 spatial TPU A/B initially measured that tracing as a 10-21x
+    "overhead"); module-level caching matches the unsharded solver's
+    `@partial(jax.jit, static_argnames=...)` behaviour."""
     body = partial(
         _local_fixed_solver,
         axis_name=axis,
@@ -431,16 +449,13 @@ def spatial_admm_tv(
     )
     spec_x = P(None, None, axis, None)
     spec_s = P()
-    in_specs = (spec_x, spec_s, spec_s) + ((spec_s,) if kern_arr is not None else ())
-    args = (xin, jnp.asarray(lmbd, xin.dtype), jnp.asarray(rho, xin.dtype)) + (
-        (kern_arr,) if kern_arr is not None else ()
-    )
-    if kern_arr is None:
-        fn = lambda x_, l_, r_: body(x_, l_, r_, None)  # noqa: E731
-    else:
+    in_specs = (spec_x, spec_s, spec_s) + ((spec_s,) if has_kern else ())
+    if has_kern:
         fn = lambda x_, l_, r_, k_: body(x_, l_, r_, k_)  # noqa: E731
+    else:
+        fn = lambda x_, l_, r_: body(x_, l_, r_, None)  # noqa: E731
     sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=spec_x)
-    return jax.jit(sharded)(*args)
+    return jax.jit(sharded)
 
 
 def spatial_admm_tv_adaptive(
@@ -476,6 +491,26 @@ def spatial_admm_tv_adaptive(
         impl = _resolve_fft_impl(fft_impl, kern_arr)
     else:
         impl = _resolve_spatial_fft_impl(fft_impl, kern_arr)
+
+    jitted = _adaptive_sharded_fn(
+        mesh, axis, n, h, w, jnp.dtype(dtype).name, impl, x_update_mode, halo,
+        kern_arr is not None, iso, iso_mode, maxit, float(tol), adapt_rho,
+        float(rho_mu), float(rho_scale),
+    )
+    args = (xin, jnp.asarray(lmbd, dtype), jnp.asarray(rho, dtype)) + (
+        (kern_arr,) if kern_arr is not None else ()
+    )
+    x, k, r, s_res, rho_f = jitted(*args)
+    return AdaptiveResult(x=x, iters=k, r_norm=r, s_norm=s_res, rho=rho_f)
+
+
+@lru_cache(maxsize=64)
+def _adaptive_sharded_fn(mesh, axis, n, h, w, dtype_name, impl, x_update_mode,
+                         halo, has_kern, iso, iso_mode, maxit, tol, adapt_rho,
+                         rho_mu, rho_scale):
+    """Build-and-jit the sharded adaptive solver once per static config (see
+    :func:`_fixed_sharded_fn` for why)."""
+    dtype = jnp.dtype(dtype_name)
 
     def local(xin_l, lmbd_s, rho_s, *maybe_kern):
         kern_l = maybe_kern[0] if maybe_kern else None
@@ -557,11 +592,7 @@ def spatial_admm_tv_adaptive(
 
     spec_x = P(None, None, axis, None)
     spec_s = P()
-    in_specs = (spec_x, spec_s, spec_s) + ((spec_s,) if kern_arr is not None else ())
+    in_specs = (spec_x, spec_s, spec_s) + ((spec_s,) if has_kern else ())
     out_specs = (spec_x, spec_s, spec_s, spec_s, spec_s)
-    args = (xin, jnp.asarray(lmbd, dtype), jnp.asarray(rho, dtype)) + (
-        (kern_arr,) if kern_arr is not None else ()
-    )
     sharded = jax.shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-    x, k, r, s_res, rho_f = jax.jit(sharded)(*args)
-    return AdaptiveResult(x=x, iters=k, r_norm=r, s_norm=s_res, rho=rho_f)
+    return jax.jit(sharded)
