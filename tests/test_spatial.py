@@ -259,3 +259,17 @@ def test_halo_adaptive_converges_and_matches(mesh, rng):
     ref = admm_tv_adaptive(x, 0.05, 1.0, None, maxit=300, tol=1e-4)
     assert abs(int(res.iters) - int(ref.iters)) <= 2
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-3)
+
+
+def test_sharded_programs_are_cached(mesh, rng):
+    """A fresh jax.jit(shard_map(...)) per call re-traces every invocation
+    (the round-4 TPU A/B initially measured that as a 10-21x 'overhead');
+    repeated calls with the same static config must hit the lru_cache."""
+    from torch_admm_deconv_tpu.parallel.spatial import _fixed_sharded_fn
+
+    x = jnp.asarray(rng.normal(size=(1, 1, 32, 32)) * 0.1 + 0.5, jnp.float32)
+    _fixed_sharded_fn.cache_clear()
+    spatial_admm_tv(x, 0.05, 0.8, None, maxit=3, mesh=mesh)
+    spatial_admm_tv(x, 0.05, 0.8, None, maxit=3, mesh=mesh)
+    info = _fixed_sharded_fn.cache_info()
+    assert info.misses == 1 and info.hits == 1, info
