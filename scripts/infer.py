@@ -50,6 +50,11 @@ def main():
     p.add_argument("--rho", type=float, default=1.0)
     p.add_argument("--maxit", type=int, default=100)
     p.add_argument("--aniso", action="store_true", help="anisotropic TV (default isotropic)")
+    p.add_argument("--psf_gaussian", nargs=2, type=float, default=None,
+                   metavar=("SIZE", "SIGMA"),
+                   help="non-blind deblur with a SIZE x SIZE gaussian PSF of "
+                        "std SIGMA (classical model only); margin must cover "
+                        "the PSF radius + TV diffusion")
     p.add_argument("--tile", type=int, default=256)
     p.add_argument("--margin", type=int, default=32)
     p.add_argument("--max_batch", type=int, default=8)
@@ -74,8 +79,16 @@ def main():
             sys.exit("--model divergent requires --ckpt")
         apply_fn = model_restorer(args.ckpt)
     else:
+        kern = None
+        if args.psf_gaussian:
+            size, sigma = int(args.psf_gaussian[0]), float(args.psf_gaussian[1])
+            ax = np.arange(size) - (size - 1) / 2.0
+            g = np.exp(-(ax**2) / (2.0 * sigma**2))
+            k2 = np.outer(g, g)
+            kern = (k2 / k2.sum()).reshape(1, 1, size, size).astype(np.float32)
         apply_fn = classical_restorer(
-            args.lmbd, args.rho, args.maxit, iso=not args.aniso, use_pallas=not args.no_pallas
+            args.lmbd, args.rho, args.maxit, iso=not args.aniso, kern=kern,
+            use_pallas=not args.no_pallas
         )
 
     for f in files:
