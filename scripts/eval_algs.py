@@ -31,14 +31,23 @@ def _to_png(path: Path, chw: np.ndarray):
 
 
 def run_bm3d(noisy_chw: np.ndarray):
+    """The reference's BM3D column (eval_algs.ipynb cell 3): estimate sigma,
+    denoise with BM3D. Uses the pip ``bm3d`` package when present (the
+    reference's own undeclared dep); otherwise falls back to the repo's
+    from-scratch NumPy implementation (ops/bm3d.py) so the three-column
+    benchmark completes with zero external deps."""
+    hwc = noisy_chw.transpose(1, 2, 0)
     try:
         import bm3d
         from skimage.restoration import estimate_sigma
+
+        sigma = float(np.mean(estimate_sigma(hwc, channel_axis=-1)))
+        return bm3d.bm3d(hwc, sigma, profile="deb").transpose(2, 0, 1)
     except ImportError:
-        return None
-    hwc = noisy_chw.transpose(1, 2, 0)
-    sigma = float(np.mean(estimate_sigma(hwc, channel_axis=-1)))
-    return bm3d.bm3d_rgb(hwc, sigma_psd=sigma, profile="deb").transpose(2, 0, 1)
+        from torch_admm_deconv_tpu.ops.bm3d import bm3d, estimate_sigma
+
+        sigma = estimate_sigma(hwc, channel_axis=-1)
+        return bm3d(hwc, sigma).transpose(2, 0, 1).astype(np.float32)
 
 
 def main():
@@ -63,6 +72,20 @@ def main():
                         help="optional NAFNet comparison checkpoint (.tar)")
     parser.add_argument("--nafnet_width", type=int, default=64)
     parser.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
+    parser.add_argument("--lp_kern", type=int, default=0,
+                        help="learned_prox PSF size (must match the ckpt)")
+    parser.add_argument("--lp_psf_sigma", type=float, default=0.0,
+                        help="learned_prox fixed-Gaussian PSF sigma (must "
+                             "match the ckpt; 0 = learnable/denoise)")
+    parser.add_argument("--blur_gaussian", type=float, default=0.0,
+                        help="Circularly blur inputs with a Gaussian PSF of "
+                             "this sigma (deblur protocol); the classical "
+                             "solver then runs non-blind with the true PSF")
+    parser.add_argument("--blur_ksize", type=int, default=9)
+    parser.add_argument("--bm3d", action=argparse.BooleanOptionalAction, default=True,
+                        help="include the BM3D column (pip bm3d when "
+                             "importable, else the from-scratch ops/bm3d.py); "
+                             "--no-bm3d skips it for quick runs")
     args = parser.parse_args()
 
     import jax
@@ -81,6 +104,13 @@ def main():
     save.mkdir(parents=True, exist_ok=True)
 
     transforms = [RandCrop(args.crop), Scale()]
+    solver_psf = None
+    if args.blur_gaussian > 0:
+        from torch_admm_deconv_tpu.data import CircBlur, gaussian_psf_np
+
+        psf_np = gaussian_psf_np(args.blur_ksize, args.blur_gaussian)
+        transforms.append(CircBlur(psf_np))
+        solver_psf = jnp.asarray(psf_np.reshape(1, 1, *psf_np.shape))
     if args.awgn > 0:
         transforms.append(AddAWGN(std_range=(args.awgn, args.awgn + 1)))
     dset = ImageDataset(Path(args.x_dir), Path(args.y_dir), transforms=transforms)
@@ -118,9 +148,13 @@ def main():
         model_apply = jax.jit(lambda x: model.apply(params, x))
 
     if args.model == "learned_prox" and args.ckpt:
-        from torch_admm_deconv_tpu.models.learned_prox import LearnedProxADMM
+        # shared factory with scripts/train.py => identical param tree
+        from torch_admm_deconv_tpu.data.transforms import gaussian_psf_np as _gp
+        from torch_admm_deconv_tpu.models.learned_prox import default_learned_prox
 
-        lp = LearnedProxADMM(steps=10, channels=3, hidden=32)
+        lp_psf = _gp(args.lp_kern, args.lp_psf_sigma) if (
+            args.lp_kern and args.lp_psf_sigma > 0) else None
+        lp = default_learned_prox(kern=args.lp_kern, psf=lp_psf)
         lp_params = jax.tree_util.tree_map(
             jnp.asarray, load_checkpoint(args.ckpt)["model_state_dict"]
         )
@@ -149,7 +183,8 @@ def main():
     metric_fns = {k: jax.jit(v) for k, v in metric_fns.items()}
 
     methods = ["admm" if args.model == "classical" or model_apply is None else "model"]
-    if run_bm3d(np.zeros((3, 8, 8), np.float32)) is not None:
+    if args.bm3d and args.blur_gaussian == 0:
+        # BM3D is a denoiser; the deblur protocol has no BM3D column
         methods.append("bm3d")
 
     rows = []
@@ -160,7 +195,10 @@ def main():
         if model_apply is not None and args.model in ("divergent", "learned_prox"):
             outs["model"] = model_apply(xj)
         else:
-            outs["admm"] = admm_tv(xj, args.lmbd, args.rho, None, iso=True, maxit=args.maxit)
+            # non-blind when the deblur protocol is on (true PSF), TV denoise
+            # otherwise; aniso TV for deblur matches the grid-sweep protocol
+            outs["admm"] = admm_tv(xj, args.lmbd, args.rho, solver_psf,
+                                   iso=solver_psf is None, maxit=args.maxit)
         if nafnet_apply is not None:
             outs["nafnet"] = nafnet_apply(xj)
         if "bm3d" in methods:

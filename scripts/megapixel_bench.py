@@ -110,7 +110,12 @@ def main():
     t0 = time.time()
     out = np.asarray(solve(x))
     print(f"[mp] sharded solve (compile incl.): {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
-    t = timed_fetch(solve, x, reps=3)
+    # Time around a SCALAR checksum: the .sum() data dependency still forces
+    # the full solve on-device, but only 4 bytes cross the (stdio-tunnel)
+    # host link — fetching the full ~200 MB 4096^2 output per rep costs
+    # 0.7-3.5 s of jitter on TPU and was the round-1..3 bench-pollution mode
+    # (the full output is fetched ONCE above for the PSNR/oracle checks).
+    t = timed_fetch(lambda v: solve(v).sum(), x, reps=3)
     print(json.dumps({
         "metric": f"megapixel_{args.size}x{args.size}_spatial_{args.x_update_mode}_{n}shards",
         "value": round(args.maxit / t, 3),

@@ -23,7 +23,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def init_training(config_file, min_std, max_std, save_dir, model_name, device, model_ckpt=None,
                   aot_only=False, resume_ckpt=None, skip_nonfinite=True, lr_override=None,
-                  arch="flagship", nafnet_width=32, light_train_metrics=False):
+                  arch="flagship", nafnet_width=32, light_train_metrics=False,
+                  accum_steps=1, gradient_mode="unroll", lp_kern=0, lp_psf_sigma=0.0,
+                  blur_gaussian=0.0, blur_ksize=9):
     import jax
 
     if device and device != "tpu":
@@ -56,6 +58,12 @@ def init_training(config_file, min_std, max_std, save_dir, model_name, device, m
 
     im_shape = tuple(train_cfg["im_shape"])
     transforms = [RandCrop(im_shape), Scale()]
+    if blur_gaussian > 0:
+        # non-blind deblur protocol (BASELINE config 4): circularly blur the
+        # degraded input with a fixed Gaussian PSF before the AWGN
+        from torch_admm_deconv_tpu.data import CircBlur, gaussian_psf_np
+
+        transforms.append(CircBlur(gaussian_psf_np(blur_ksize, blur_gaussian)))
     if max_std > 0:
         transforms.append(AddAWGN(std_range=(min_std, max_std), both=False))
     train_dset = ImageDataset(
@@ -85,10 +93,13 @@ def init_training(config_file, min_std, max_std, save_dir, model_name, device, m
         # BASELINE config 4's named capability: unrolled ADMM with a learned
         # prox-net z-update (PnP). 10 shared-weight stages vs the classical
         # solver's 100 — the claim under test is that the learned prox wins
-        # at a fraction of the iteration budget.
-        from torch_admm_deconv_tpu.models.learned_prox import LearnedProxADMM
+        # at a fraction of the iteration budget. Construction is shared with
+        # scripts/eval_algs.py via default_learned_prox (advisor r4 finding).
+        from torch_admm_deconv_tpu.data.transforms import gaussian_psf_np
+        from torch_admm_deconv_tpu.models.learned_prox import default_learned_prox
 
-        model = LearnedProxADMM(steps=10, channels=3, hidden=32)
+        psf = gaussian_psf_np(lp_kern, lp_psf_sigma) if (lp_kern and lp_psf_sigma > 0) else None
+        model = default_learned_prox(kern=lp_kern, psf=psf)
     elif model_cfg:
         # beyond-reference: architecture overrides via config (the reference
         # hardcodes the model in the script, train.py:70-73)
@@ -113,7 +124,7 @@ def init_training(config_file, min_std, max_std, save_dir, model_name, device, m
             admms=[dict(admm), dict(admm)],
         )
     else:
-        model = flagship_divergent_restorer()
+        model = flagship_divergent_restorer(gradient_mode=gradient_mode)
 
     init_params = None
     if train_cfg["train"].get("ckpt"):
@@ -135,7 +146,8 @@ def init_training(config_file, min_std, max_std, save_dir, model_name, device, m
     # reuse a cache built without it.
     trainer = NNTrainer(loss_func, eval_metrics, saver, logger,
                         skip_nonfinite_updates=skip_nonfinite,
-                        light_train_metrics=light_train_metrics)
+                        light_train_metrics=light_train_metrics,
+                        accum_steps=accum_steps)
     trainer.run(
         model,
         optimizer,
@@ -188,12 +200,39 @@ def main():
                         help="Compute only loss+MSE on train steps (eval keeps "
                              "the full metric set); trades train-curve "
                              "SSIM/SCC/UIQ for a faster step")
+    parser.add_argument("--accum_steps", type=int, default=1,
+                        help="Gradient accumulation: average the grads of N "
+                             "consecutive batches per optimizer update "
+                             "(restores the reference's effective batch 3 at "
+                             "batch-1 peak memory; changes the train-step "
+                             "jaxpr => one budgeted cold compile)")
+    parser.add_argument("--gradient_mode", choices=["unroll", "implicit"],
+                        default="unroll",
+                        help="flagship ADMM layers: 'unroll' backprops through "
+                             "all solver iterations (reference parity, "
+                             "eops/deconv.py:103-115); 'implicit' uses the "
+                             "IFT fixed-point adjoint (O(1) memory in iters)")
+    parser.add_argument("--lp_kern", type=int, default=0,
+                        help="learned_prox PSF size N (0 = denoising mode; "
+                             "N>0 = (N,N) kernel, BASELINE config 4 deblur)")
+    parser.add_argument("--lp_psf_sigma", type=float, default=0.0,
+                        help="learned_prox: fix the PSF to a Gaussian of this "
+                             "sigma (non-blind); 0 = learnable Xavier PSF")
+    parser.add_argument("--blur_gaussian", type=float, default=0.0,
+                        help="Circularly blur train/eval inputs with a "
+                             "Gaussian PSF of this sigma (deblur protocol); "
+                             "0 = off")
+    parser.add_argument("--blur_ksize", type=int, default=9,
+                        help="PSF size for --blur_gaussian")
     args = parser.parse_args()
     init_training(args.config_file, args.min_awgn, args.max_awgn, args.save_dir,
                   args.model_name, args.device, aot_only=args.aot,
                   resume_ckpt=args.resume, skip_nonfinite=args.skip_nonfinite,
                   lr_override=args.lr, arch=args.arch, nafnet_width=args.nafnet_width,
-                  light_train_metrics=args.light_train_metrics)
+                  light_train_metrics=args.light_train_metrics,
+                  accum_steps=args.accum_steps, gradient_mode=args.gradient_mode,
+                  lp_kern=args.lp_kern, lp_psf_sigma=args.lp_psf_sigma,
+                  blur_gaussian=args.blur_gaussian, blur_ksize=args.blur_ksize)
 
 
 if __name__ == "__main__":

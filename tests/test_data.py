@@ -130,3 +130,27 @@ def test_rnind_gt_selection(tmp_path):
         (tmp_path / n).write_bytes(b"x")
     got = sorted(p.name for p in rnind_gt_paths(tmp_path))
     assert got == ["sceneA_GT_0.arw", "sceneB_GT_0.arw"]
+
+
+def test_circblur_matches_solver_forward(rng):
+    """CircBlur's degradation must be the solver's own circulant H (same
+    centered-OTF convention as ops/fdops.psf_otf_centered), so a non-blind
+    solve given this PSF inverts the exact operator."""
+    import jax.numpy as jnp
+
+    from torch_admm_deconv_tpu.data.transforms import CircBlur, gaussian_psf_np
+    from torch_admm_deconv_tpu.ops import fdops
+
+    psf = gaussian_psf_np(9, 1.5)
+    x = rng.random((3, 32, 32)).astype(np.float32)
+    blurred, y_out = CircBlur(psf)(x, x.copy())
+    np.testing.assert_array_equal(y_out, x)  # y untouched
+
+    otf = fdops.psf_otf_centered(jnp.asarray(psf), (32, 32))
+    want = np.asarray(
+        jnp.fft.irfft2(
+            jnp.fft.rfft2(jnp.asarray(x)[None], axes=(-2, -1)) * otf,
+            s=(32, 32), axes=(-2, -1),
+        )
+    )[0]
+    np.testing.assert_allclose(blurred, want, atol=1e-5)

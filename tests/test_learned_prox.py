@@ -54,3 +54,39 @@ def test_learned_prox_with_kernel(rng):
     assert p["params"]["w"].shape == (1, 1, 5, 5)
     out = m.apply(p, x)
     assert out.shape == x.shape and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fixed_psf_nonblind_matches_classical(rng):
+    """psf_fixed (non-blind mode, BASELINE config 4 deblur): zero-init prox
+    + fixed true PSF must equal the classical non-blind solver, and the
+    param tree must NOT contain a learnable 'w'."""
+    from tests.oracles.numpy_admm import gaussian_psf
+    from torch_admm_deconv_tpu.models.learned_prox import default_learned_prox
+    from torch_admm_deconv_tpu.ops.solver import admm_tv
+
+    psf = gaussian_psf(9, 1.5).astype(np.float32)
+    m = default_learned_prox(kern=9, steps=6, psf=psf)
+    x = jnp.asarray(rng.normal(size=(1, 3, 32, 32)) * 0.1 + 0.5, jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)
+    assert "w" not in p["params"], list(p["params"])
+    got = np.asarray(m.apply(p, x))
+    want = np.asarray(admm_tv(x, 0.05, 1.0, jnp.asarray(psf), iso=False, maxit=6))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_factory_shared_tree_between_cli_sides(rng):
+    """scripts/train.py and scripts/eval_algs.py construct via the same
+    factory => identical param trees (advisor r4: independent hardcoding
+    produced opaque mismatches)."""
+    from torch_admm_deconv_tpu.models.learned_prox import default_learned_prox
+
+    x = jnp.asarray(rng.normal(size=(1, 3, 16, 16)), jnp.float32)
+    a = default_learned_prox()
+    b = default_learned_prox()
+    pa = a.init(jax.random.PRNGKey(0), x)
+    pb = b.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(pa) == jax.tree_util.tree_structure(pb)
+    # learnable-PSF (blind) mode keeps ADMMDeconv parity: 'w' present
+    c = default_learned_prox(kern=9)
+    pc = c.init(jax.random.PRNGKey(0), x)
+    assert "w" in pc["params"]

@@ -219,6 +219,27 @@ def test_halo_matches_single_device_deblur(mesh, rng):
     np.testing.assert_allclose(tiled, single, atol=1e-3)
 
 
+def test_halo_deblur_dht_impl(mesh, rng):
+    """Regression: on TPU 'auto' resolves to 'dht' for symmetric PSFs, and
+    the halo x-update must feed mirror_freq_full a 2-D (H_pad, Wf) spectrum —
+    the (1,1,kh,kw) kernel's leading dims once leaked into freq_c and crashed
+    the Hartley path (round-4 advisor finding). CPU tests resolve 'auto' to
+    'xla', so force 'dht' here."""
+    psf = jnp.asarray(oracle.gaussian_psf(9, 1.5), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 3, 128, 48)) * 0.1 + 0.5, jnp.float32)
+    single = np.asarray(admm_tv(x, 0.01, 1.0, psf, maxit=40))
+    tiled = np.asarray(
+        spatial_admm_tv(x, 0.01, 1.0, psf, maxit=40, mesh=mesh,
+                        x_update_mode="halo", halo=16, fft_impl="dht")
+    )
+    np.testing.assert_allclose(tiled, single, atol=1e-3)
+    adaptive = spatial_admm_tv_adaptive(
+        x, 0.01, 1.0, psf, maxit=60, tol=1e-3, mesh=mesh,
+        x_update_mode="halo", halo=16, fft_impl="dht",
+    )
+    assert np.all(np.isfinite(np.asarray(adaptive.x)))
+
+
 def test_halo_error_decays_with_margin(mesh, rng):
     """The halo width is an accuracy knob: error vs the exact solver must
     shrink as the margin grows."""

@@ -315,3 +315,110 @@ def test_light_train_metrics_skips_monitoring_on_train(tmp_path):
     assert math.isnan(train["ssim_loss"])
     # ...but fully computed on eval
     assert math.isfinite(evalm["ssim_loss"])
+
+
+# -- gradient accumulation (round-5: the reference's effective batch 3) ------
+
+
+def _lin_setup():
+    import flax.linen as nn
+
+    class Lin(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            w = self.param("w", lambda k, s: jnp.ones(s, jnp.float32), (1,))
+            return x * w
+
+    model = Lin()
+    x0 = jnp.ones((1, 1, 4, 4), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0)
+    return model, params
+
+
+def test_accum_matches_large_batch():
+    """One accum-3 update over three batch-1 micro-batches must equal one
+    batch-3 update: the mean-loss gradient decomposes exactly (the point of
+    restoring the reference's configs/train_cfg.json:8 batch 3 on a chip
+    that only fits batch 1)."""
+    from torch_admm_deconv_tpu.metrics.losses import MSE
+    from torch_admm_deconv_tpu.train.trainer import NNTrainer, make_optimizer
+
+    model, params = _lin_setup()
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.random((3, 1, 1, 4, 4)), jnp.float32)
+    ys = jnp.asarray(rng.random((3, 1, 1, 4, 4)), jnp.float32)
+    tx = make_optimizer(1e-2)
+
+    acc_tr = NNTrainer(MSE(None), [], saver=None, clamp_admm_params=False,
+                       accum_steps=3)
+    step3, _ = acc_tr._build_steps(model, tx)
+    p3, _, _, _ = step3(params, tx.init(params), xs, ys, 1e-2,
+                        acc_tr._fresh_acc("train"))
+
+    big_tr = NNTrainer(MSE(None), [], saver=None, clamp_admm_params=False)
+    step1, _ = big_tr._build_steps(model, tx)
+    xb = xs.reshape(3, 1, 4, 4)
+    yb = ys.reshape(3, 1, 4, 4)
+    pb, _, _, _ = step1(params, tx.init(params), xb, yb, 1e-2,
+                        big_tr._fresh_acc("train"))
+
+    np.testing.assert_allclose(
+        np.asarray(p3["params"]["w"]), np.asarray(pb["params"]["w"]), rtol=1e-6
+    )
+
+
+def test_accum_nonfinite_micro_masked():
+    """A non-finite micro-gradient is excluded from the average; the update
+    equals the mean of the FINITE micro-grads, and an all-bad group applies
+    no update at all."""
+    from torch_admm_deconv_tpu.metrics.losses import MSE
+    from torch_admm_deconv_tpu.train.trainer import NNTrainer, make_optimizer
+
+    model, params = _lin_setup()
+    rng = np.random.default_rng(1)
+    xs = jnp.asarray(rng.random((2, 1, 1, 4, 4)), jnp.float32)
+    ys_good = jnp.asarray(rng.random((2, 1, 1, 4, 4)), jnp.float32)
+    ys_bad = ys_good.at[1].set(jnp.nan)
+    tx = make_optimizer(1e-2)
+
+    tr = NNTrainer(MSE(None), [], saver=None, clamp_admm_params=False,
+                   accum_steps=2)
+    step, _ = tr._build_steps(model, tx)
+
+    # group with one bad micro-batch == single-step update on the good one
+    p_mask, _, _, acc = step(params, tx.init(params), xs, ys_bad, 1e-2,
+                             tr._fresh_acc("train"))
+    solo = NNTrainer(MSE(None), [], saver=None, clamp_admm_params=False)
+    sstep, _ = solo._build_steps(model, tx)
+    p_solo, _, _, _ = sstep(params, tx.init(params), xs[0], ys_good[0], 1e-2,
+                            solo._fresh_acc("train"))
+    np.testing.assert_allclose(
+        np.asarray(p_mask["params"]["w"]), np.asarray(p_solo["params"]["w"]),
+        rtol=1e-6,
+    )
+    assert int(jax.device_get(acc)["nonfinite_steps"]) == 1
+
+    # all-bad group: params bit-identical (no update)
+    ys_allbad = jnp.full_like(ys_good, jnp.nan)
+    p_none, _, _, _ = step(params, tx.init(params), xs, ys_allbad, 1e-2,
+                           tr._fresh_acc("train"))
+    np.testing.assert_array_equal(
+        np.asarray(p_none["params"]["w"]), np.asarray(params["params"]["w"])
+    )
+
+
+def test_accum_epoch_loop_groups_and_drops(tmp_path):
+    """run() groups accum_steps loader batches per update and drops the
+    trailing partial group; the epoch still trains and logs."""
+    model = M.Conv2d(3, 3, 1)
+    loss = MSE("cpu")
+    logger = MetricsLogger(loss, [])
+    saver = NNSaver(str(tmp_path), "accum_m", SaveMode.Each, use_time_date=False)
+    trainer = NNTrainer(loss, [], saver, logger, accum_steps=2)
+    loader = _SyntheticLoader(n_batches=5)  # 2 updates + 1 dropped
+    trainer.run(model, make_optimizer(3e-3), epochs=2,
+                train_dataloader=loader, eval_dataloader=_SyntheticLoader(n_batches=2, seed=1),
+                base_lr=3e-3)
+    train_losses = logger.metrics["train"][loss.m_name]
+    assert len(train_losses) == 2
+    assert train_losses[-1] < train_losses[0], train_losses

@@ -41,6 +41,41 @@ class Scale:
         return x_img / 255.0, y_img / 255.0
 
 
+class CircBlur:
+    """Circular (periodic-boundary) blur of the degraded input with a fixed
+    PSF — the non-blind deblur protocol (BASELINE configs 4/5). Uses the same
+    centered-OTF convention as the solver's forward operator H
+    (ops/fdops.psf_otf_centered), so a solver given this PSF inverts the
+    exact degradation. Applied to x only; the reference has no deblur
+    training path (its models train in the empty-kernel denoising mode) —
+    this transform is the beyond-reference piece that makes learned-prox
+    deblur training possible."""
+
+    def __init__(self, psf: np.ndarray):
+        psf = np.asarray(psf, np.float32)
+        self.psf = psf.reshape(psf.shape[-2], psf.shape[-1])
+
+    def __call__(self, x_img: np.ndarray, y_img: np.ndarray, rng=None):
+        h, w = x_img.shape[-2:]
+        kh, kw = self.psf.shape
+        top, left = (kh - 1) // 2, (kw - 1) // 2
+        padded = np.zeros((h, w), np.float32)
+        padded[:kh, :kw] = self.psf
+        otf = np.fft.rfft2(np.roll(padded, (-top, -left), axis=(0, 1)))
+        blurred = np.fft.irfft2(
+            np.fft.rfft2(x_img, axes=(-2, -1)) * otf, s=(h, w), axes=(-2, -1)
+        ).astype(x_img.dtype)
+        return blurred, y_img
+
+
+def gaussian_psf_np(size: int = 9, sigma: float = 1.5) -> np.ndarray:
+    """Normalized 2-D Gaussian PSF (the deblur protocol's kernel)."""
+    ax = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(ax**2) / (2.0 * sigma**2))
+    k = np.outer(g, g)
+    return (k / k.sum()).astype(np.float32)
+
+
 class AddAWGN:
     """Additive white gaussian noise with sigma drawn from
     ``std_range``/255; ``both`` adds the same noise to the target too

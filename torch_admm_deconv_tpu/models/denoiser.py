@@ -113,12 +113,16 @@ def flagship_divergent_restorer(
     max_iters: int = 100,
     remat: bool = True,
     use_pallas: bool = False,
+    gradient_mode: str = "unroll",
 ) -> DivergentRestorer:
     """The exact training configuration of scripts/train.py:70-73.
 
     ``use_pallas=True`` routes the (empty-kernel) ADMM layers through the
     whole-solve-in-VMEM Pallas kernel — inference only (not differentiable);
-    pair it with ``remat=False``.
+    pair it with ``remat=False``. ``gradient_mode="implicit"`` trains the
+    ADMM layers through the converged fixed point (IFT adjoint,
+    ops/implicit.py) instead of unrolling all ``max_iters`` iterations
+    through autograd (the reference's only mode, eops/deconv.py:103-115).
     """
     admm = {
         "kern_size": (),
@@ -126,6 +130,7 @@ def flagship_divergent_restorer(
         "iso": True,
         "remat": remat,
         "use_pallas": use_pallas,
+        "gradient_mode": gradient_mode,
     }
     return DivergentRestorer(
         level_branches=[2, 8, 32],

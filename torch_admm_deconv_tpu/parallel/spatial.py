@@ -246,7 +246,16 @@ def _make_halo_ops(kern, *, fft_impl, axis_name, n, h_local, w, halo, dtype):
         hty_fn = lambda v: v  # noqa: E731
     else:
         otf_c = fdops.psf_otf_centered(kern.astype(dtype), shape)
-        habs2 = (otf_c.real**2 + otf_c.imag**2).astype(dtype)
+        # Collapse the kernel's leading (1, 1) dims: freq_c = 1/(habs2 + rho*d2)
+        # must stay a 2-D (H_pad, Wf) grid so the Hartley path's
+        # mirror_freq_full (which slices axis 1 as the frequency axis) sees the
+        # spectrum, not a broadcast batch dim (matches _admm_tv_vmem_impl's
+        # reshape in kernels/vmem_solver.py).
+        habs2 = (
+            (otf_c.real**2 + otf_c.imag**2)
+            .reshape(h_pad, w // 2 + 1)
+            .astype(dtype)
+        )
 
         def hty_fn(v):
             v_pad = _halo_exchange(v, halo, axis_name, n)
