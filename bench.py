@@ -49,6 +49,12 @@ _PEAK_BF16 = {
 }
 _DEFAULT_PEAK = 394e12  # v5e — the chip this repo targets
 
+# Mixed-precision (inexact-ADMM) schedule: fraction of iterations on the
+# single-pass bf16 fast phase; the bf16x3 tail contracts the early roundoff
+# (deviation study: scripts/bench_mixed_precision.py, run per fast_frac
+# change). The executed-pass MXU mix below is computed from this.
+_FAST_FRAC = 0.75
+
 
 def _gaussian_psf(size, sigma):
     ax = np.arange(size) - (size - 1) / 2.0
@@ -122,7 +128,7 @@ def wait_for_quiet_chip(max_attempts=5, threshold=0.25, sleep_s=30.0, reps=5):
         # fetching the whole output over the stdio tunnel costs seconds with
         # high jitter and was the dominant round-3 noise term
         return admm_tv(v, 0.002, 0.5, kern, iso=False, maxit=100, use_pallas=True,
-                       precision="mixed").sum()
+                       precision="mixed", fast_frac=_FAST_FRAC).sum()
 
     np.asarray(probe(x))  # compile
     spread = float("inf")
@@ -167,7 +173,8 @@ def bench_config1(batch=8, size=512, maxit=200, psf_size=9):
         # (25-100 MB, 0.7-3.5 s, high jitter) was the dominant noise source in
         # the round-1..3 benches (VERDICT r3 weak #2)
         return lambda v: admm_tv(
-            v, 0.002, 0.5, kern, iso=False, maxit=m, use_pallas=True, precision="mixed"
+            v, 0.002, 0.5, kern, iso=False, maxit=m, use_pallas=True,
+            precision="mixed", fast_frac=_FAST_FRAC,
         ).sum()
 
     res = robust_iter_timing(solver_of_maxit, x, m_small=maxit, m_big=5 * maxit,
@@ -224,12 +231,14 @@ def bench_config2(size=512, half=32, maxit=200, psf_size=9):
 
     def gaussian_of_maxit(m):
         return lambda v: admm_tv(
-            v, 0.002, 0.5, kg, iso=False, maxit=m, use_pallas=True, precision="mixed"
+            v, 0.002, 0.5, kg, iso=False, maxit=m, use_pallas=True,
+            precision="mixed", fast_frac=_FAST_FRAC,
         ).sum()  # scalar-checksum fetch (see bench_config1)
 
     def motion_of_maxit(m):
         return lambda v: admm_tv(
-            v, 0.002, 0.5, km, iso=False, maxit=m, use_pallas=True, precision="mixed"
+            v, 0.002, 0.5, km, iso=False, maxit=m, use_pallas=True,
+            precision="mixed", fast_frac=_FAST_FRAC,
         ).sum()
 
     rg = robust_iter_timing(gaussian_of_maxit, xg, m_small=maxit, m_big=3 * maxit,
@@ -336,7 +345,7 @@ def main():
     macs_per_plane_iter = 2 * (size * size * size + size * size * size)  # 4 matmuls
     useful_flops = planes * 2 * macs_per_plane_iter
     mfu = useful_flops / per_iter / peak
-    executed_passes = 0.75 * 1 + 0.25 * 3  # the mixed schedule's pass mix
+    executed_passes = _FAST_FRAC * 1 + (1 - _FAST_FRAC) * 3  # schedule's pass mix
     mxu_fraction = mfu * executed_passes
     print(
         f"[bench] {device_kind}: MFU {mfu:.2%} of {peak/1e12:.0f} TFLOP/s peak "

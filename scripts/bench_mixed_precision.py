@@ -57,6 +57,29 @@ def main():
     )
     log(f"fixed mixed-vs-high max|diff| at 200 iters = {np.abs(out_mx - out_hi).max():.2e}")
 
+    # ---- fast_frac sweep: deviation + throughput vs the exact tail length --
+    # (justifies the bench's _FAST_FRAC choice; the tail must contract the
+    # bf16 fast-phase roundoff — Eckstein & Bertsekas summable-error)
+    for frac in (0.75, 0.875, 0.9375):
+        out_f = np.asarray(
+            admm_tv_vmem(x, lmbd, rho, None, iso=False, maxit=200,
+                         precision="mixed", fast_frac=frac)
+        )
+        per_iter = iter_scaling_throughput(
+            lambda m: lambda v: admm_tv_vmem(
+                v, lmbd, rho, None, iso=False, maxit=m,
+                precision="mixed", fast_frac=frac,
+            ).sum(),
+            x,
+            m_small=200,
+            m_big=1000,
+        )
+        log(
+            f"fast_frac={frac}: max|diff| vs high = "
+            f"{np.abs(out_f - out_hi).max():.2e}, "
+            f"{per_iter * 1e6:.2f} us/iter = {1/per_iter:.0f} it/s"
+        )
+
     # ---- adaptive time-to-tol: difference two tolerances so fetch cancels ----
     for prec in ("high", "mixed"):
         ts = {}

@@ -11,7 +11,8 @@ ALL ``maxit`` iterations with the state resident on-chip:
     per grid program (one (batch*channel) plane):
         s <- hty, u <- 0                               (VMEM init)
         repeat maxit:
-            x  = T_h ((T_h s T_w) * freq) T_w / (h*w)   (4 MXU matmuls)
+            x  = T_h ((T_h s T_w) * freq') T_w          (4 MXU matmuls;
+                 freq' = freq/(h*w) folded host-side)
             dx, dy, shrink, dual, next s                (VPU + pltpu.roll)
         write x                                        (one HBM store)
 
@@ -156,7 +157,6 @@ def _make_interleaved_kernel(
         tau = tau_ref[0, 0]
         h = hty_ref.shape[-2]
         w = hty_ref.shape[-1]
-        inv_hw = 1.0 / (h * w)
         hty = hty_ref[0]  # (g, H, W)
 
         s_scr[...] = hty
@@ -165,13 +165,13 @@ def _make_interleaved_kernel(
         x_ref[0] = jnp.zeros_like(hty)
 
         mats = tuple(m[...] for m in mat_refs)
-        freq = freq_ref[...]
+        freq = freq_ref[...]  # carries the 1/(H*W) normalization (host-side)
 
         def body_with(xform):
             def body(_, carry):
                 for i in range(g):
                     y = xform(s_scr[i]) * freq
-                    x = xform(y) * inv_hw
+                    x = xform(y)
                     dx = x - pltpu.roll(x, 1, axis=1)
                     dyv = x - pltpu.roll(x, 1, axis=0)
                     ax = dx + ux_scr[i]
@@ -245,7 +245,6 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
         tau = tau_ref[0, 0]
         h = hty_ref.shape[-2]
         w = hty_ref.shape[-1]
-        inv_hw = 1.0 / (h * w)
         hty = hty_ref[0]  # (g, H, W)
 
         # x, z, u start at zero => first RHS is exactly hty (deconv.py:61-67).
@@ -261,7 +260,10 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
 
         def make_apply(fast):
             """apply(dst_scr, src_scr, mult): dst = T(src) * mult with the
-            block-batched right stage (T is cas-cas or Hartley-pair)."""
+            block-batched right stage (T is cas-cas or Hartley-pair).
+            ``mult=None`` skips the multiply entirely — the inverse-transform
+            normalization is folded into ``freq`` host-side, so the second
+            transform of each x-update needs no elementwise pass."""
             if n_mats == 4:
                 th_hi, th_lo, tw_hi, tw_lo = mats
                 if fast:
@@ -270,7 +272,8 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
                         flat = src[...].reshape(g * h, w).astype(jnp.bfloat16)
                         b = _dot(flat, tw_hi).reshape(g, h, w)
                         for i in range(g):
-                            dst[i] = _dot(th_hi, b[i].astype(jnp.bfloat16)) * mult
+                            t = _dot(th_hi, b[i].astype(jnp.bfloat16))
+                            dst[i] = t if mult is None else t * mult
 
                 else:
 
@@ -279,7 +282,8 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
                         b = _mm3(v_hi, v_lo, tw_hi, tw_lo).reshape(g, h, w)
                         for i in range(g):
                             b_hi, b_lo = _split(b[i])
-                            dst[i] = _mm3(th_hi, th_lo, b_hi, b_lo) * mult
+                            t = _mm3(th_hi, th_lo, b_hi, b_lo)
+                            dst[i] = t if mult is None else t * mult
 
             else:
                 (th_hi, th_lo, thp_hi, thp_lo,
@@ -295,7 +299,8 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
                         # ...then two batched right stages
                         t1 = _dot(dst[...].reshape(g * h, w).astype(jnp.bfloat16), cw_hi)
                         t2 = _dot(a_scr[...].reshape(g * h, w).astype(jnp.bfloat16), sw_hi)
-                        dst[...] = (t1 + t2).reshape(g, h, w) * mult
+                        t12 = (t1 + t2).reshape(g, h, w)
+                        dst[...] = t12 if mult is None else t12 * mult
 
                 else:
 
@@ -308,15 +313,18 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
                         a_hi, a_lo = _split(a_scr[...].reshape(g * h, w))
                         t1 = _mm3(d_hi, d_lo, cw_hi, cw_lo)
                         t2 = _mm3(a_hi, a_lo, sw_hi, sw_lo)
-                        dst[...] = (t1 + t2).reshape(g, h, w) * mult
+                        t12 = (t1 + t2).reshape(g, h, w)
+                        dst[...] = t12 if mult is None else t12 * mult
 
             return apply
 
         def body_with(apply):
             def body(_, carry):
                 # ---- x-update: spectral diagonal solve (MXU) ----
+                # freq carries the 1/(H*W) normalization (folded host-side),
+                # so the inverse transform needs no elementwise multiply
                 apply(y_scr, s_scr, freq)
-                apply(t_scr, y_scr, inv_hw)
+                apply(t_scr, y_scr, None)
                 x = t_scr[...]  # (g, H, W) — the fresh primal
 
                 # ---- fused elementwise chain (VPU, all in VMEM) ----
@@ -325,24 +333,32 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
                 ax = dx + ux_scr[...]
                 ay = dyv + uy_scr[...]
                 if iso_mode is None:
-                    # soft shrinkage in clip form: sign(a)*max(|a|-tau, 0)
-                    # == a - clip(a, -tau, tau) exactly (3 VPU ops vs 5)
-                    zx = ax - jnp.clip(ax, -tau, tau)
-                    zy = ay - jnp.clip(ay, -tau, tau)
-                elif iso_mode == "sample":
-                    nx = jnp.sqrt(jnp.sum(ax * ax, axis=0, keepdims=True) + _EPS)
-                    ny = jnp.sqrt(jnp.sum(ay * ay, axis=0, keepdims=True) + _EPS)
-                    zx = jnp.maximum(1.0 - tau / (nx + _EPS), 0.0) * ax
-                    zy = jnp.maximum(1.0 - tau / (ny + _EPS), 0.0) * ay
-                else:  # 'joint'
-                    mag = jnp.sqrt(ax * ax + ay * ay + _EPS)
-                    scale = jnp.maximum(1.0 - tau / mag, 0.0)
-                    zx = scale * ax
-                    zy = scale * ay
-                uxn = ax - zx
-                uyn = ay - zy
-                tx = zx - uxn
-                ty = zy - uyn
+                    # algebraic regroup of the soft-shrinkage half-iteration:
+                    # z = a - clip(a, -tau, tau) (clip-form shrinkage), so the
+                    # dual update is u_new = a - z = clip(a, -tau, tau) and
+                    # t = z - u_new = a - 2 u_new. z itself is never needed —
+                    # one clip + one fused a-2u per branch instead of
+                    # clip + three subtractions (same math; a - 2u rounds once
+                    # where (a-u)-u rounded twice).
+                    uxn = jnp.clip(ax, -tau, tau)
+                    uyn = jnp.clip(ay, -tau, tau)
+                    tx = ax - 2.0 * uxn
+                    ty = ay - 2.0 * uyn
+                else:
+                    if iso_mode == "sample":
+                        nx = jnp.sqrt(jnp.sum(ax * ax, axis=0, keepdims=True) + _EPS)
+                        ny = jnp.sqrt(jnp.sum(ay * ay, axis=0, keepdims=True) + _EPS)
+                        zx = jnp.maximum(1.0 - tau / (nx + _EPS), 0.0) * ax
+                        zy = jnp.maximum(1.0 - tau / (ny + _EPS), 0.0) * ay
+                    else:  # 'joint'
+                        mag = jnp.sqrt(ax * ax + ay * ay + _EPS)
+                        scale = jnp.maximum(1.0 - tau / mag, 0.0)
+                        zx = scale * ax
+                        zy = scale * ay
+                    uxn = ax - zx
+                    uyn = ay - zy
+                    tx = zx - uxn
+                    ty = zy - uyn
                 s_scr[...] = hty + rho * (
                     tx
                     - pltpu.roll(tx, w - 1, axis=2)
@@ -482,7 +498,6 @@ def _make_adaptive_kernel(
         rho0 = rho0_ref[0, 0]
         h = hty_ref.shape[-2]
         w = hty_ref.shape[-1]
-        inv_hw = 1.0 / (h * w)
         hty = hty_ref[0]
 
         s_scr[...] = hty
@@ -493,6 +508,9 @@ def _make_adaptive_kernel(
         t_scr[...] = jnp.zeros_like(hty)
 
         mats = tuple(m[...] for m in mat_refs)
+        # habs2/d2 arrive pre-scaled by (H*W) so the rebuilt spectrum
+        # 1/(habs2 + rho*d2) carries the inverse-transform normalization —
+        # no per-iteration full-plane multiply for it
         habs2 = habs2_ref[...]
         d2 = d2_ref[...]
         scale = jnp.sqrt(jnp.float32(2 * g * h * w))
@@ -504,7 +522,7 @@ def _make_adaptive_kernel(
                 tau = jnp.maximum(lmbd / rho, 0.0)  # clip-form precondition
                 for i in range(g):
                     y_scr[i] = xform(s_scr[i]) * freq
-                    t_scr[i] = xform(y_scr[i]) * inv_hw
+                    t_scr[i] = xform(y_scr[i])
                 x = t_scr[...]
                 dx = x - pltpu.roll(x, 1, axis=2)
                 dyv = x - pltpu.roll(x, 1, axis=1)
@@ -760,9 +778,12 @@ def _admm_tv_adaptive_vmem_impl(
         otf = fdops.psf_otf(kern.astype(dtype), (h, w))
         habs2 = (otf.real**2 + otf.imag**2).reshape(h, w // 2 + 1)
     # the conjugate (joint) mirror is exact for any real PSF and coincides
-    # with the per-axis mirror for symmetric ones
-    habs2_full = mirror_freq_full_joint(habs2, w)
-    d2_full = mirror_freq_full_joint(jnp.broadcast_to(d2, (h, w // 2 + 1)), w)
+    # with the per-axis mirror for symmetric ones. Both maps are pre-scaled
+    # by (H*W) so the in-kernel spectrum rebuild 1/(habs2 + rho*d2) folds in
+    # the inverse-transform normalization (see the fixed path) for free.
+    hw = jnp.asarray(h * w, dtype)
+    habs2_full = mirror_freq_full_joint(habs2, w) * hw
+    d2_full = mirror_freq_full_joint(jnp.broadcast_to(d2, (h, w // 2 + 1)), w) * hw
 
     mats, mat_shapes = _split_mats(h, w, general)
 
@@ -920,6 +941,12 @@ def _admm_tv_vmem_impl(
     tau = jnp.maximum(lmbd / rho, 0.0)
 
     freq_c = fdops.freq_denominator((h, w), rho, kern, dtype)
+    # Fold the inverse-transform 1/(H*W) normalization into the diagonal
+    # spectrum: x = T((freq/HW) * T(s)) == T(freq * T(s))/HW (the spectrum is
+    # diagonal, scalars commute). Kills one full-plane VPU multiply per
+    # iteration from the kernel's dependent elementwise chain — the confirmed
+    # MFU bound (benchmarks/mfu_trace_r4.md: 4.6 us VPU vs 4.1 us MXU).
+    freq_c = freq_c * (1.0 / (h * w))
     freq_full = mirror_freq_full_joint(jnp.broadcast_to(freq_c, (h, w // 2 + 1)), w)
     mats, mat_shapes = _split_mats(h, w, general)
 

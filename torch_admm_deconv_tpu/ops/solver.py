@@ -162,6 +162,7 @@ def admm_tv(
     use_pallas: bool = False,
     fft_impl: str = "auto",
     precision: str = "high",
+    fast_frac: float = 0.75,
 ) -> jnp.ndarray:
     """Fixed-iteration TV-ADMM (reference-parity path, differentiable).
 
@@ -182,6 +183,9 @@ def admm_tv(
         single-pass bf16 x-update matmuls (inexact ADMM — the exact bf16x3
         tail contracts the early roundoff; measured 2.0x faster, max
         deviation ~3e-4 at 200 iters / 512^2). Ignored on the scan path.
+      fast_frac: fraction of iterations in the fast single-pass phase when
+        ``precision='mixed'`` (VMEM path only; deviation study:
+        scripts/bench_mixed_precision.py).
 
     Returns the restored batch, same shape as ``xin``.
     """
@@ -209,7 +213,8 @@ def admm_tv(
         if vmem_solve_available(shape, xin.dtype, kern, iso, eff_mode):
             xb = xin.reshape(shape)
             out = admm_tv_vmem(
-                xb, lmbd, rho, kern, iso, maxit, iso_mode=eff_mode, precision=precision
+                xb, lmbd, rho, kern, iso, maxit, iso_mode=eff_mode,
+                precision=precision, fast_frac=fast_frac,
             )
             return out.reshape(xin.shape)
     return _admm_tv_scan(
