@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="benchmarks/train_throughput_r3.md")
+    ap.add_argument("--gradient_mode", choices=["unroll", "implicit"],
+                    default="unroll",
+                    help="ADMM-layer gradients: 'unroll' backprops through "
+                         "all 100 solver iterations (reference parity, "
+                         "eops/deconv.py:103-115); 'implicit' runs the "
+                         "residual-stopped forward + IFT fixed-point adjoint "
+                         "(ops/implicit.py) — O(1) memory in iteration count")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +67,7 @@ def main():
     x, y = next(iter(loader))
     x, y = jnp.asarray(x), jnp.asarray(y)
 
-    model = flagship_divergent_restorer()
+    model = flagship_divergent_restorer(gradient_mode=args.gradient_mode)
     metrics = [PSNRMetric(None), SCCMetric(None), SSIMMetric(None),
                MAELoss(None), UIQMetric(None)]
     trainer = NNTrainer(SSIMLabColorLoss(None), metrics, saver=None)
@@ -105,10 +112,10 @@ def main():
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(
-        "# Flagship train-step throughput on TPU (round 3)\n\n"
+        "# Flagship train-step throughput on TPU\n\n"
         "Exact `scripts/train.py` train step (DivergentRestorer [2,8,32]/86, "
-        "two 100-iter unrolled iso ADMM layers with remat, SSIMLabColorLoss "
-        "+ 6 metrics, AdamW, value-clip, post-step clamp), batch "
+        f"two 100-iter iso ADMM layers with {args.gradient_mode} gradients, "
+        "SSIMLabColorLoss + 6 metrics, AdamW, value-clip, post-step clamp), batch "
         f"{cfg['train']['batch_size']} at {tuple(cfg['im_shape'])}, real "
         "data batch.\n\n"
         f"* compile (this process, persistent-cache warm): **{t_compile:.1f} s** "

@@ -118,3 +118,24 @@ def test_iso_modes_all_run(rng):
     for mode, o in outs.items():
         assert np.all(np.isfinite(o)), mode
     assert not np.allclose(outs["compat"], outs["joint"])
+
+
+def test_admm_tv_fast_frac_passthrough(rng):
+    """admm_tv(fast_frac=...) reaches the VMEM kernel (bench.py's _FAST_FRAC
+    plumbing): at batch 1 the compat iso mode maps to 'sample' and the VMEM
+    path is eligible, so different fast_frac values must produce different
+    (but close) iterates while fast_frac=0.0 matches precision='high'."""
+    import numpy as np
+
+    from torch_admm_deconv_tpu.ops.solver import admm_tv
+
+    x = jnp.asarray(rng.normal(size=(1, 3, 32, 128)) * 0.1 + 0.5, jnp.float32)
+    hi = np.asarray(admm_tv(x, 0.05, 0.8, None, iso=True, maxit=20,
+                            use_pallas=True, precision="high"))
+    f0 = np.asarray(admm_tv(x, 0.05, 0.8, None, iso=True, maxit=20,
+                            use_pallas=True, precision="mixed", fast_frac=0.0))
+    f9 = np.asarray(admm_tv(x, 0.05, 0.8, None, iso=True, maxit=20,
+                            use_pallas=True, precision="mixed", fast_frac=0.9))
+    np.testing.assert_array_equal(f0, hi)  # zero fast phase == exact kernel
+    assert np.abs(f9 - hi).max() > 0.0  # the knob reached the kernel
+    np.testing.assert_allclose(f9, hi, atol=5e-3)  # tail contracts roundoff
