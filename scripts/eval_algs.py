@@ -145,7 +145,11 @@ def main():
         params = jax.tree_util.tree_map(
             jnp.asarray, load_checkpoint(args.ckpt)["model_state_dict"]
         )
-        model_apply = jax.jit(lambda x: model.apply(params, x))
+        # params as an ARGUMENT, not a closure: closed-over weights become
+        # jaxpr constants and ship inside the compile request — a w64-sized
+        # model exceeds the remote compile helper's body limit (HTTP 413)
+        _apply = jax.jit(lambda p, x: model.apply(p, x))
+        model_apply = lambda x: _apply(params, x)  # noqa: E731
 
     if args.model == "learned_prox" and args.ckpt:
         # shared factory with scripts/train.py => identical param tree
@@ -158,7 +162,8 @@ def main():
         lp_params = jax.tree_util.tree_map(
             jnp.asarray, load_checkpoint(args.ckpt)["model_state_dict"]
         )
-        model_apply = jax.jit(lambda x: lp.apply(lp_params, x))
+        _lp_apply = jax.jit(lambda p, x: lp.apply(p, x))
+        model_apply = lambda x: _lp_apply(lp_params, x)  # noqa: E731
 
     nafnet_apply = None
     if args.nafnet_ckpt:
@@ -171,7 +176,8 @@ def main():
         nf_params = jax.tree_util.tree_map(
             jnp.asarray, load_checkpoint(args.nafnet_ckpt)["model_state_dict"]
         )
-        nafnet_apply = jax.jit(lambda x: nafnet.apply(nf_params, x))
+        _nf_apply = jax.jit(lambda p, x: nafnet.apply(p, x))
+        nafnet_apply = lambda x: _nf_apply(nf_params, x)  # noqa: E731
 
     metric_fns = {
         "ssim": lambda p, t: F.ssim(p, t),
