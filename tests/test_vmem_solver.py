@@ -347,3 +347,21 @@ def test_adaptive_return_state_fixed_rho(rng):
         rho_mu=1e30, return_state=True,
     )
     np.testing.assert_allclose(np.asarray(res.rho), 0.8, rtol=1e-6)
+
+
+@pytest.mark.parametrize("ablate", ["no_roll", "no_shrink", "mxu_only"])
+def test_ablation_variants_run_and_default_is_unchanged(rng, ablate):
+    """The perf-audit ablations (scripts/vpu_ablation.py) must trace/run,
+    and the default `_ablate=''` path must be bit-identical to a kernel
+    built before the knob existed — i.e. agree with the scan solver like
+    every other vmem test does."""
+    from torch_admm_deconv_tpu.kernels.vmem_solver import admm_tv_vmem
+
+    x = _noisy(rng, b=1, c=3)
+    full = admm_tv_vmem(x, 0.05, 0.8, None, iso=False, maxit=10)
+    ref = admm_tv(x, 0.05, 0.8, None, iso=False, maxit=10)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+    out = admm_tv_vmem(x, 0.05, 0.8, None, iso=False, maxit=10, _ablate=ablate)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))

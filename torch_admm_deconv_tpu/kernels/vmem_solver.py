@@ -210,7 +210,8 @@ def _make_interleaved_kernel(
     return kernel
 
 
-def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int = 4):
+def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int = 4,
+                 ablate: str = ""):
     """iso_mode: None (anisotropic soft shrinkage), 'joint' (corrected
     isotropic TV — pointwise (zx, zy) block norm), or 'sample' (channel-
     coupled isotropic norm — blocks carry all ``g`` channels of a sample).
@@ -223,6 +224,14 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
 
     ``n_mats``: 4 (symmetric cas-cas path) or 8 (general-PSF Hartley-pair
     path, see :func:`_make_xform`).
+
+    ``ablate``: PERF-AUDIT ONLY — produces numerically WRONG solves that
+    time a subset of the per-iteration work so the VPU residue can be
+    decomposed without a device profiler (scripts/vpu_ablation.py):
+    '' (real kernel) | 'no_roll' (every pltpu.roll replaced by identity —
+    same ALU ops, zero lane/sublane rotations) | 'no_shrink' (rolls and
+    stores kept, shrinkage/dual ALU dropped) | 'mxu_only' (x-update matmuls
+    and loop only — the elementwise chain is skipped entirely).
 
     MXU shape (round 3, VERDICT r2 'push MFU past ~40%'): the W-side
     matmul of each transform runs ONCE over the whole (g*H, W) block —
@@ -264,15 +273,26 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
             ``mult=None`` skips the multiply entirely — the inverse-transform
             normalization is folded into ``freq`` host-side, so the second
             transform of each x-update needs no elementwise pass."""
+            # perf-audit (see docstring): 'double_convert' repeats every
+            # f32->bf16 operand conversion through a non-foldable round-trip,
+            # so (variant - full) prices the conversions already on the path
+            if ablate == "double_convert":
+                def conv(v):
+                    b16 = v.astype(jnp.bfloat16)
+                    return (b16.astype(jnp.float32) * 1.0000001).astype(jnp.bfloat16)
+            else:
+                def conv(v):
+                    return v.astype(jnp.bfloat16)
+
             if n_mats == 4:
                 th_hi, th_lo, tw_hi, tw_lo = mats
                 if fast:
 
                     def apply(dst, src, mult):
-                        flat = src[...].reshape(g * h, w).astype(jnp.bfloat16)
+                        flat = conv(src[...].reshape(g * h, w))
                         b = _dot(flat, tw_hi).reshape(g, h, w)
                         for i in range(g):
-                            t = _dot(th_hi, b[i].astype(jnp.bfloat16))
+                            t = _dot(th_hi, conv(b[i]))
                             dst[i] = t if mult is None else t * mult
 
                 else:
@@ -318,6 +338,10 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
 
             return apply
 
+        # perf-audit ablations (see docstring): identity "roll" keeps the
+        # ALU chain but drops the lane/sublane rotations
+        roll = (lambda v, s, axis: v) if ablate == "no_roll" else pltpu.roll
+
         def body_with(apply):
             def body(_, carry):
                 # ---- x-update: spectral diagonal solve (MXU) ----
@@ -325,14 +349,20 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
                 # so the inverse transform needs no elementwise multiply
                 apply(y_scr, s_scr, freq)
                 apply(t_scr, y_scr, None)
+                if ablate == "mxu_only":
+                    s_scr[...] = t_scr[...]
+                    return carry
                 x = t_scr[...]  # (g, H, W) — the fresh primal
 
                 # ---- fused elementwise chain (VPU, all in VMEM) ----
-                dx = x - pltpu.roll(x, 1, axis=2)
-                dyv = x - pltpu.roll(x, 1, axis=1)
+                dx = x - roll(x, 1, axis=2)
+                dyv = x - roll(x, 1, axis=1)
                 ax = dx + ux_scr[...]
                 ay = dyv + uy_scr[...]
-                if iso_mode is None:
+                if ablate == "no_shrink":
+                    uxn, uyn = ax, ay
+                    tx, ty = ax, ay
+                elif iso_mode is None:
                     # algebraic regroup of the soft-shrinkage half-iteration:
                     # z = a - clip(a, -tau, tau) (clip-form shrinkage), so the
                     # dual update is u_new = a - z = clip(a, -tau, tau) and
@@ -361,9 +391,9 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
                     ty = zy - uyn
                 s_scr[...] = hty + rho * (
                     tx
-                    - pltpu.roll(tx, w - 1, axis=2)
+                    - roll(tx, w - 1, axis=2)
                     + ty
-                    - pltpu.roll(ty, h - 1, axis=1)
+                    - roll(ty, h - 1, axis=1)
                 )
                 ux_scr[...] = uxn
                 uy_scr[...] = uyn
@@ -880,6 +910,7 @@ def admm_tv_vmem(
     precision: str = "high",
     fast_frac: float = 0.75,
     schedule: str = "batched",
+    _ablate: str = "",
 ) -> jnp.ndarray:
     """Whole-solve-in-VMEM TV-ADMM. Same contract as ops.solver.admm_tv for
     the configurations :func:`vmem_solve_available` accepts; callers are
@@ -903,7 +934,7 @@ def admm_tv_vmem(
     return _admm_tv_vmem_impl(
         xin, lmbd, rho, kern, iso, maxit,
         iso_mode=iso_mode, precision=precision, fast_frac=float(fast_frac),
-        schedule=schedule, general=_psf_is_general(kern),
+        schedule=schedule, general=_psf_is_general(kern), ablate=_ablate,
     )
 
 
@@ -911,6 +942,7 @@ def admm_tv_vmem(
     jax.jit,
     static_argnames=(
         "iso", "maxit", "iso_mode", "precision", "fast_frac", "schedule", "general",
+        "ablate",
     ),
 )
 def _admm_tv_vmem_impl(
@@ -926,6 +958,7 @@ def _admm_tv_vmem_impl(
     fast_frac: float = 0.75,
     schedule: str = "batched",
     general: bool = False,
+    ablate: str = "",
 ) -> jnp.ndarray:
     from torch_admm_deconv_tpu.ops import fdops
     from torch_admm_deconv_tpu.ops.mxu_fft import mirror_freq_full_joint
@@ -983,7 +1016,8 @@ def _admm_tv_vmem_impl(
         )
         n_scratch = 3
     else:
-        kernel_fn = _make_kernel(maxit, mode, g, fast_iters=fast_iters, n_mats=len(mats))
+        kernel_fn = _make_kernel(maxit, mode, g, fast_iters=fast_iters,
+                                 n_mats=len(mats), ablate=ablate)
         n_scratch = 6 if general else 5
     out = pl.pallas_call(
         kernel_fn,
