@@ -48,7 +48,12 @@ def main():
     ap.add_argument("--variants", default=",no_roll,no_shrink,mxu_only",
                     help="comma-separated ablate values ('' = full kernel); "
                          "also: double_convert (prices the f32->bf16 operand "
-                         "conversions on the fast-phase matmul path)")
+                         "conversions on the fast-phase matmul path), "
+                         "no_hside / no_wside (drop one transform stage — "
+                         "run these with --fast_frac 1.0 so the exact tail "
+                         "does not dilute the ablation)")
+    ap.add_argument("--fast_frac", type=float, default=None,
+                    help="override the bench _FAST_FRAC for all variants")
     args = ap.parse_args()
 
     import jax
@@ -65,13 +70,14 @@ def main():
     x = jnp.asarray(_scene(rng, args.batch, args.size))
     kern = jnp.asarray(_gaussian_psf(9, 1.5))
     planes = args.batch * 3
+    fast_frac = _FAST_FRAC if args.fast_frac is None else args.fast_frac
 
     rows = []
     for ablate in args.variants.split(","):
         def solver_of_maxit(m, ablate=ablate):
             return lambda v: admm_tv_vmem(
                 v, 0.002, 0.5, kern, iso=False, maxit=m,
-                precision="mixed", fast_frac=_FAST_FRAC, _ablate=ablate,
+                precision="mixed", fast_frac=fast_frac, _ablate=ablate,
             ).sum()
 
         res = robust_iter_timing(
@@ -92,7 +98,7 @@ def main():
         "# VPU-chain ablation, round 5 (see module docstring for method)\n",
         f"Config1 shapes: {args.batch}x3x{args.size}x{args.size}, "
         f"{args.maxit}-iter scaling to {5*args.maxit}, mixed fast_frac "
-        f"{_FAST_FRAC}. All numbers us/plane-iteration. Delta is vs the "
+        f"{fast_frac}. All numbers us/plane-iteration. Delta is vs the "
         "first row (negative = the variant did LESS work).\n",
         "| kernel variant | us/plane-iter | spread | delta vs first row |",
         "|---|---|---|---|",

@@ -286,7 +286,24 @@ def _make_kernel(maxit: int, iso_mode, g: int, fast_iters: int = 0, n_mats: int 
 
             if n_mats == 4:
                 th_hi, th_lo, tw_hi, tw_lo = mats
-                if fast:
+                if fast and ablate == "no_hside":
+                    # audit: batched W-stage only — prices the per-plane
+                    # H-side loop by subtraction from 'full'
+                    def apply(dst, src, mult):
+                        flat = conv(src[...].reshape(g * h, w))
+                        b = _dot(flat, tw_hi).reshape(g, h, w)
+                        for i in range(g):
+                            dst[i] = b[i] if mult is None else b[i] * mult
+
+                elif fast and ablate == "no_wside":
+                    # audit: per-plane H-stage only
+                    def apply(dst, src, mult):
+                        b = src[...]
+                        for i in range(g):
+                            t = _dot(th_hi, conv(b[i]))
+                            dst[i] = t if mult is None else t * mult
+
+                elif fast:
 
                     def apply(dst, src, mult):
                         flat = conv(src[...].reshape(g * h, w))
